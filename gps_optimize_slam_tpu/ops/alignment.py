@@ -1,0 +1,353 @@
+"""Gap-aware temporal alignment of GPS samples onto SLAM timestamps.
+
+TPU-native reimplementation of the reference's dynamic_time_alignment +
+estimate_time_offset (EKFGPSSLAM.py:301-387):
+
+* The reference filters/segments dynamically (np.unique, python segment
+  loops, scipy interp1d per segment). Here everything is **static-shape**:
+  invalid/duplicate samples are masked and compacted by a sort, segments are
+  labelled with `segment_*` reductions, and ALL per-segment not-a-knot cubic
+  splines are solved in ONE block-diagonal linear system — a single XLA
+  program, no host round-trips, vmappable across sequences.
+* scipy's ``interp1d(kind='cubic')`` is the unique not-a-knot interpolating
+  cubic, reproduced here via the classic second-derivative ("moments")
+  formulation; segments with fewer than 4 points fall back to linear
+  interpolation exactly like the reference (EKFGPSSLAM.py:362).
+* Validity is returned as a boolean mask (the reference returns NaN rows +
+  a mask; masks are the XLA-native encoding).
+
+Semantics notes (documented quirks, SURVEY.md §2.5):
+* Q1 — the reference's estimate_time_offset cross-correlates the two
+  *z-scored resampled timestamp ramps*; two z-scored linear ramps are the
+  identical sequence, so the correlation peak is at lag 0 and the offset is
+  exactly 0.0 for any ≥2-sample inputs. ``estimate_time_offset`` reproduces
+  the computation faithfully (host-side) and the jitted core takes the
+  offset as a plain input.
+* Duplicate timestamps keep the first occurrence in sorted order
+  (np.unique semantics under a stable sort; the reference's unstable
+  quicksort only differs on exactly-tied inputs).
+* A segment whose post-dedup time steps are not all > 1e-9 is skipped
+  entirely (EKFGPSSLAM.py:364-366).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from gps_optimize_slam_tpu.config import TimeAlignConfig
+
+_INF = jnp.inf
+
+
+def estimate_time_offset(slam_times, gps_times, max_samples: int = 500) -> float:
+    """Cross-correlation clock-offset estimate (reference EKFGPSSLAM.py:301-323).
+
+    Host-side NumPy, faithful to the reference — including the quirk that it
+    correlates the resampled timestamp ramps themselves, which makes the
+    result exactly 0.0 whenever both series have ≥2 samples (SURVEY §2.5 Q1).
+    """
+    import numpy as np
+
+    slam_times = np.asarray(slam_times)
+    gps_times = np.asarray(gps_times)
+    if len(slam_times) < 2 or len(gps_times) < 2:
+        return 0.0
+    num_samples = min(max_samples, len(slam_times), len(gps_times))
+    if num_samples < 2:
+        return 0.0
+    slam_s = np.linspace(slam_times.min(), slam_times.max(), num_samples)
+    gps_s = np.linspace(gps_times.min(), gps_times.max(), num_samples)
+    slam_n = slam_s - slam_s.mean()
+    gps_n = gps_s - gps_s.mean()
+    s_std, g_std = slam_n.std(), gps_n.std()
+    if s_std < 1e-9 or g_std < 1e-9:
+        return 0.0
+    corr = np.correlate(slam_n / s_std, gps_n / g_std, mode="full")
+    lag = int(corr.argmax()) - len(slam_n) + 1
+    dt = (slam_s[-1] - slam_s[0]) / (num_samples - 1) if num_samples > 1 else 0.0
+    return float(lag * dt)
+
+
+class AlignedGPS(NamedTuple):
+    """GPS positions interpolated onto SLAM timestamps.
+
+    aligned: (n_slam, 3) interpolated positions (arbitrary where invalid).
+    valid:   (n_slam,) bool — True where a GPS segment covers the timestamp.
+    """
+
+    aligned: jnp.ndarray
+    valid: jnp.ndarray
+
+
+def _compact_sort(times: jnp.ndarray, positions: jnp.ndarray, valid: jnp.ndarray):
+    """Stable-sort by time, drop invalid + duplicate timestamps via
+    compaction. Returns (t, pos, keep_count) with +inf padding at the tail."""
+    m = times.shape[0]
+    key = jnp.where(valid, times, _INF)
+    order = jnp.argsort(key, stable=True)
+    t_sorted = key[order]
+    p_sorted = positions[order]
+    # Duplicate = equal to predecessor (first occurrence kept).
+    dup = jnp.concatenate(
+        [jnp.zeros((1,), bool), t_sorted[1:] == t_sorted[:-1]]
+    )
+    keep = jnp.isfinite(t_sorted) & ~dup
+    # Compact: stable argsort on ~keep floats valid entries to the front.
+    order2 = jnp.argsort(jnp.where(keep, 0, 1), stable=True)
+    t_c = jnp.where(keep[order2], t_sorted[order2], _INF)
+    p_c = p_sorted[order2]
+    n_eff = jnp.sum(keep)
+    return t_c, p_c, n_eff
+
+
+def _segment_structure(t: jnp.ndarray, n_eff, gap_threshold: float):
+    """Label gap-separated segments on compacted times.
+
+    Returns per-point (seg_id, is_real) and per-segment arrays (indexed by
+    seg_id, padded to m): start_idx, end_idx, start_t, end_t, length, ok,
+    where ok requires len>=2 and strictly-increasing steps > 1e-9.
+    """
+    m = t.shape[0]
+    idx = jnp.arange(m)
+    is_real = idx < n_eff
+    dt = jnp.diff(t)  # (m-1,) — inf at/after the padding boundary
+    gap = dt > gap_threshold
+    is_start = jnp.concatenate([jnp.ones((1,), bool), gap])
+    seg_id = jnp.cumsum(is_start.astype(jnp.int32)) - 1
+
+    ones = jnp.where(is_real, 1, 0)
+    seg_len = jax.ops.segment_sum(ones, seg_id, num_segments=m)
+    big = jnp.asarray(jnp.iinfo(jnp.int32).max, jnp.int32)
+    seg_start_idx = jax.ops.segment_min(
+        jnp.where(is_real, idx, big).astype(jnp.int32), seg_id, num_segments=m
+    )
+    seg_end_idx = jax.ops.segment_max(
+        jnp.where(is_real, idx, -1).astype(jnp.int32), seg_id, num_segments=m
+    )
+    seg_start_t = jax.ops.segment_min(
+        jnp.where(is_real, t, _INF), seg_id, num_segments=m
+    )
+    seg_end_t = jax.ops.segment_max(
+        jnp.where(is_real, t, -_INF), seg_id, num_segments=m
+    )
+    # Within-segment steps: dt[j] belongs to seg of point j if point j+1 is
+    # in the same segment (no gap at j) and both real.
+    intra = (~gap) & is_real[:-1] & is_real[1:]
+    seg_min_dt = jax.ops.segment_min(
+        jnp.where(intra, dt, _INF), seg_id[:-1], num_segments=m
+    )
+    seg_ok = (seg_len >= 2) & (seg_min_dt > 1e-9)
+    return seg_id, is_real, seg_start_idx, seg_end_idx, seg_start_t, seg_end_t, seg_len, seg_ok
+
+
+def _notaknot_moments(
+    t: jnp.ndarray,
+    y: jnp.ndarray,
+    seg_id: jnp.ndarray,
+    is_real: jnp.ndarray,
+    seg_start_idx: jnp.ndarray,
+    seg_end_idx: jnp.ndarray,
+    seg_len: jnp.ndarray,
+    seg_ok: jnp.ndarray,
+) -> jnp.ndarray:
+    """Second derivatives ("moments") of every per-segment not-a-knot cubic
+    spline, solved as one block-diagonal dense system.
+
+    Rows for points outside cubic (len>=4, ok) segments are identity (M=0),
+    keeping the matrix nonsingular. O(m³) dense solve — fine for typical GNSS
+    streams; a pentadiagonal path is the planned scale-out optimisation.
+    """
+    m = t.shape[0]
+    idx = jnp.arange(m)
+    dt = jnp.diff(t)
+    h = jnp.concatenate([dt, jnp.ones((1,), t.dtype)])  # h[j] = t[j+1]-t[j]
+    hm1 = jnp.concatenate([jnp.ones((1,), t.dtype), dt])  # h[j-1]
+    hm2 = jnp.concatenate([jnp.ones((2,), t.dtype), dt[:-1]])  # h[j-2]
+
+    cubic_here = seg_ok[seg_id] & (seg_len[seg_id] >= 4) & is_real
+    at_start = idx == seg_start_idx[seg_id]
+    at_end = idx == seg_end_idx[seg_id]
+    interior = cubic_here & ~at_start & ~at_end
+    start_row = cubic_here & at_start
+    end_row = cubic_here & at_end
+
+    # Sanitise h values used per row kind to avoid inf/NaN leaking in.
+    h_s = jnp.where(jnp.isfinite(h), h, 1.0)
+    hm1_s = jnp.where(jnp.isfinite(hm1), hm1, 1.0)
+    hm2_s = jnp.where(jnp.isfinite(hm2), hm2, 1.0)
+
+    # Column offsets and coefficients per row (3 nonzeros each):
+    #   start (not-a-knot):  cols j, j+1, j+2 : [h1, -(h0+h1), h0]
+    #   interior:            cols j-1, j, j+1 : [hm1/6, (hm1+h)/3, h/6]
+    #   end (not-a-knot):    cols j-2, j-1, j : [hm1, -(hm2+hm1), hm2]
+    #   identity otherwise:  col j : 1
+    h0 = h_s  # at start rows: h0 = t[j+1]-t[j]
+    h1 = jnp.roll(h_s, -1)  # at start rows: h1 = t[j+2]-t[j+1]
+
+    c0 = jnp.where(
+        start_row, h1, jnp.where(interior, hm1_s / 6.0, jnp.where(end_row, hm1_s, 1.0))
+    )
+    c1 = jnp.where(
+        start_row,
+        -(h0 + h1),
+        jnp.where(
+            interior, (hm1_s + h_s) / 3.0, jnp.where(end_row, -(hm2_s + hm1_s), 0.0)
+        ),
+    )
+    c2 = jnp.where(
+        start_row, h0, jnp.where(interior, h_s / 6.0, jnp.where(end_row, hm2_s, 0.0))
+    )
+    o0 = jnp.where(start_row, 0, jnp.where(interior, -1, jnp.where(end_row, -2, 0)))
+    o1 = jnp.where(start_row, 1, jnp.where(interior, 0, jnp.where(end_row, -1, 0)))
+    o2 = jnp.where(start_row, 2, jnp.where(interior, 1, jnp.where(end_row, 0, 0)))
+
+    cols0 = jnp.clip(idx + o0, 0, m - 1)
+    cols1 = jnp.clip(idx + o1, 0, m - 1)
+    cols2 = jnp.clip(idx + o2, 0, m - 1)
+
+    A = jnp.zeros((m, m), t.dtype)
+    A = A.at[idx, cols0].add(c0)
+    A = A.at[idx, cols1].add(c1)
+    A = A.at[idx, cols2].add(c2)
+
+    # RHS: divided differences for interior rows, 0 elsewhere.
+    y_s = jnp.where(jnp.isfinite(y), y, 0.0)
+    dy = jnp.diff(y_s, axis=0)
+    slope = dy / dt[:, None]
+    slope = jnp.where(jnp.isfinite(slope), slope, 0.0)
+    slope_j = jnp.concatenate([slope, jnp.zeros((1, y.shape[1]), y.dtype)])
+    slope_jm1 = jnp.concatenate([jnp.zeros((1, y.shape[1]), y.dtype), slope])
+    rhs = jnp.where(interior[:, None], slope_j - slope_jm1, 0.0)
+
+    return jnp.linalg.solve(A, rhs)
+
+
+def align_gps_to_slam(
+    slam_times: jnp.ndarray,
+    gps_times: jnp.ndarray,
+    gps_positions: jnp.ndarray,
+    gps_valid: Optional[jnp.ndarray] = None,
+    time_offset=0.0,
+    cfg: TimeAlignConfig = TimeAlignConfig(),
+) -> AlignedGPS:
+    """Interpolate GPS positions onto SLAM timestamps, honouring gaps.
+
+    Jittable static-shape equivalent of dynamic_time_alignment
+    (reference: EKFGPSSLAM.py:325-387): segments split at time gaps
+    > cfg.max_gps_gap_threshold; cubic (not-a-knot) for segments of ≥4
+    points, linear for 2-3; timestamps outside every segment's span are
+    invalid.
+    """
+    dtype = jnp.result_type(slam_times.dtype, gps_times.dtype, jnp.float32)
+    slam_times = slam_times.astype(dtype)
+    gps_times = gps_times.astype(dtype)
+    gps_positions = gps_positions.astype(dtype)
+    if gps_valid is None:
+        gps_valid = jnp.ones(gps_times.shape, bool)
+
+    t, p, n_eff = _compact_sort(gps_times + time_offset, gps_positions, gps_valid)
+    (
+        seg_id,
+        is_real,
+        seg_start_idx,
+        seg_end_idx,
+        seg_start_t,
+        seg_end_t,
+        seg_len,
+        seg_ok,
+    ) = _segment_structure(t, n_eff, cfg.max_gps_gap_threshold)
+
+    moments = _notaknot_moments(
+        t, p, seg_id, is_real, seg_start_idx, seg_end_idx, seg_len, seg_ok
+    )
+
+    m = t.shape[0]
+    # Bracketing interval for each SLAM timestamp.
+    j = jnp.searchsorted(t, slam_times, side="right") - 1
+    j = jnp.clip(j, 0, m - 1)
+    sid = seg_id[j]
+    # A timestamp equal to a segment's last knot must evaluate on the
+    # interval to its LEFT (the bracketing interval crosses the gap).
+    j_eval = jnp.where(
+        (j == seg_end_idx[sid]) & (j > seg_start_idx[sid]), j - 1, j
+    )
+    j_eval = jnp.clip(j_eval, 0, m - 2)
+
+    t0 = t[j_eval]
+    t1 = t[j_eval + 1]
+    h = t1 - t0
+    h_safe = jnp.where((h > 0) & jnp.isfinite(h), h, 1.0)
+    y0 = p[j_eval]
+    y1 = p[j_eval + 1]
+    y0 = jnp.where(jnp.isfinite(y0), y0, 0.0)
+    y1 = jnp.where(jnp.isfinite(y1), y1, 0.0)
+    m0 = moments[j_eval]
+    m1 = moments[j_eval + 1]
+
+    u = (slam_times - t0)[:, None]
+    v = (t1 - slam_times)[:, None]
+    hh = h_safe[:, None]
+    cubic_val = (
+        m0 * v**3 / (6.0 * hh)
+        + m1 * u**3 / (6.0 * hh)
+        + (y0 / hh - m0 * hh / 6.0) * v
+        + (y1 / hh - m1 * hh / 6.0) * u
+    )
+    linear_val = y0 + (y1 - y0) * (u / hh)
+
+    use_cubic = (seg_len[sid] >= 4)[:, None]
+    aligned = jnp.where(use_cubic, cubic_val, linear_val)
+
+    valid = (
+        (slam_times >= t[0])
+        & (slam_times >= seg_start_t[sid])
+        & (slam_times <= seg_end_t[sid])
+        & seg_ok[sid]
+        & is_real[j]
+    )
+    aligned = jnp.where(valid[:, None], aligned, jnp.nan)
+    return AlignedGPS(aligned=aligned, valid=valid)
+
+
+def sim3_window_mask(
+    slam_times: jnp.ndarray,
+    valid: jnp.ndarray,
+    gap_threshold: float,
+    max_duration: float,
+    min_samples: int,
+) -> jnp.ndarray:
+    """Select the SLAM indices used for Sim3 fitting (reference
+    EKFGPSSLAM.py:977-998): the first gap-free run of GPS-valid timestamps,
+    truncated to ``max_duration`` seconds — with the reference's fallbacks:
+    if the first run has < min_samples points use ALL valid points; if the
+    truncated window has < min_samples points use the whole first run.
+
+    Returns a boolean mask over SLAM indices (static shape).
+    """
+    n = slam_times.shape[0]
+    big = slam_times[-1] + jnp.asarray(1.0, slam_times.dtype)
+    # Times of valid points, compacted to the front.
+    order = jnp.argsort(jnp.where(valid, 0, 1), stable=True)
+    vt = jnp.where(valid[order], slam_times[order], _INF)
+    n_valid = jnp.sum(valid)
+    # First gap among consecutive valid times.
+    diffs = jnp.diff(vt)
+    gap_pos = jnp.where(diffs > gap_threshold, jnp.arange(n - 1), n)
+    first_gap = jnp.min(jnp.concatenate([gap_pos, jnp.asarray([n])]))
+    # Count of points in the first run (clip by n_valid).
+    run_len = jnp.minimum(first_gap + 1, n_valid)
+    run_start_t = vt[0]
+    run_end_t = vt[jnp.clip(run_len - 1, 0, n - 1)]
+
+    in_first_run = valid & (slam_times <= jnp.where(jnp.isfinite(run_end_t), run_end_t, big))
+    timed = in_first_run & (slam_times <= run_start_t + max_duration)
+
+    n_run = jnp.sum(in_first_run)
+    n_timed = jnp.sum(timed)
+
+    use_all = n_run < min_samples  # first segment too short → all valid points
+    use_run = (~use_all) & (n_timed < min_samples)  # timed window too small
+    return jnp.where(use_all, valid, jnp.where(use_run, in_first_run, timed))

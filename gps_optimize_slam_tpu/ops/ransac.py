@@ -1,0 +1,216 @@
+"""Batched RANSAC estimators: Sim(3) alignment and polynomial GPS gating.
+
+TPU-native replacements for the reference's robust-estimation loops:
+
+* ``sim3_ransac`` — replaces compute_sim3_transform_robust
+  (EKFGPSSLAM.py:389-426). The reference runs a 1000-iteration Python loop
+  (one 4-point SVD + full residual pass per iteration, 130-230 ms measured,
+  SURVEY §6). Here ALL trials run as one vmapped batch: sampling via
+  `jax.random` Gumbel top-k, 3×3 SVDs batched, the trials×points residual
+  matrix one fused XLA computation, winner by argmax, masked refit — a
+  single device program.
+* ``gps_poly_ransac_mask`` — replaces filter_gps_outliers_ransac
+  (EKFGPSSLAM.py:136-247): per-window per-axis degree-2 polynomial RANSAC,
+  windows × axes × trials all vmapped. Returns a keep-MASK (static shape)
+  instead of filtered arrays; the window inlier sets are OR-ed exactly like
+  the reference's sliding-window union (Q12).
+
+RNG note: `np.random.choice` streams cannot be reproduced with `jax.random`;
+golden tests must compare converged outputs (SURVEY §7 hard-part d) —
+on clean data the best-inlier refit is seed-independent.
+
+sklearn differences (documented): sklearn's RANSACRegressor stops early at
+stop_probability=0.99 and tie-breaks equal inlier counts by R² score; this
+implementation always runs max_trials and keeps the first maximal count
+(the reference's own Sim3 loop uses strict '>' too). Converged inlier sets
+on real data are identical.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from gps_optimize_slam_tpu.config import GPSFilterConfig, Sim3RansacConfig
+from gps_optimize_slam_tpu.ops.umeyama import Sim3, sim3_residuals, umeyama_sim3
+
+
+class Sim3RansacResult(NamedTuple):
+    sim3: Sim3
+    inlier_mask: jnp.ndarray  # (N,) bool — best consensus set ∩ valid
+    num_inliers: jnp.ndarray  # ()
+    ok: jnp.ndarray  # () bool — enough inliers found
+
+
+def sim3_ransac(
+    key: jax.Array,
+    src: jnp.ndarray,
+    dst: jnp.ndarray,
+    valid: Optional[jnp.ndarray] = None,
+    cfg: Sim3RansacConfig = Sim3RansacConfig(),
+) -> Sim3RansacResult:
+    """RANSAC-robust Sim(3) fit of dst onto src over the valid mask."""
+    n = src.shape[0]
+    if valid is None:
+        valid = jnp.ones((n,), bool)
+    n_valid = jnp.sum(valid)
+    enough = n_valid >= cfg.min_samples
+
+    p_raw = valid.astype(src.dtype)
+    p = p_raw / jnp.maximum(jnp.sum(p_raw), 1.0)
+    # Degenerate guard: uniform probabilities if nothing is valid (result is
+    # discarded via `enough`).
+    p = jnp.where(n_valid > 0, p, jnp.ones((n,), src.dtype) / n)
+
+    def trial(k):
+        idx = jax.random.choice(k, n, (cfg.min_samples,), replace=False, p=p)
+        w = jnp.zeros((n,), src.dtype).at[idx].set(1.0)
+        fit = umeyama_sim3(src, dst, w)
+        res = sim3_residuals(src, dst, fit)
+        inl = (res < cfg.residual_threshold) & valid
+        count = jnp.where(fit.ok, jnp.sum(inl), -1)
+        return count, inl
+
+    keys = jax.random.split(key, cfg.max_trials)
+    counts, inliers = jax.vmap(trial)(keys)
+    best = jnp.argmax(counts)  # first maximum, like the reference's '>'
+    best_mask = inliers[best] & enough
+    max_inliers = jnp.maximum(counts[best], 0)
+
+    ok = enough & (max_inliers >= cfg.min_inliers_needed)
+    refit = umeyama_sim3(src, dst, best_mask.astype(src.dtype))
+    ok = ok & refit.ok
+    return Sim3RansacResult(
+        sim3=Sim3(R=refit.R, t=refit.t, scale=refit.scale, ok=ok),
+        inlier_mask=best_mask,
+        num_inliers=max_inliers,
+        ok=ok,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Polynomial GPS outlier gating
+# ---------------------------------------------------------------------------
+
+
+def reference_window_starts(times, cfg: GPSFilterConfig):
+    """Host-side sliding-window start times, reproducing the reference's
+    while-loop exactly (EKFGPSSLAM.py:199-237): step = duration·factor,
+    degenerate-step jump-to-next-distinct-time, and the final tail-window
+    adjustment. Returns a NumPy array of window start times."""
+    import numpy as np
+
+    times = np.asarray(times)
+    if times.size == 0:
+        return np.zeros((0,))
+    duration = cfg.window_duration_seconds
+    step = duration * cfg.window_step_factor
+    start_time = float(times[0])
+    end_time = float(times[-1])
+    starts = []
+    cur = start_time
+    while cur < end_time:
+        starts.append(cur)
+        cur_end = cur + duration
+        if step <= 1e-6:
+            nxt = times[times > cur]
+            if len(nxt) == 0:
+                break
+            cur = float(nxt[0])
+        else:
+            cur += step
+        if cur >= end_time and times[-1] >= cur_end:
+            cur = max(start_time, times[-1] - duration + 1e-6)
+    return np.asarray(starts)
+
+
+def _poly_design(t: jnp.ndarray, degree: int) -> jnp.ndarray:
+    return jnp.stack([t**d for d in range(degree + 1)], axis=-1)
+
+
+def gps_poly_ransac_mask(
+    key: jax.Array,
+    times: jnp.ndarray,
+    positions: jnp.ndarray,
+    valid: Optional[jnp.ndarray] = None,
+    window_starts: Optional[jnp.ndarray] = None,
+    cfg: GPSFilterConfig = GPSFilterConfig(),
+) -> jnp.ndarray:
+    """Inlier mask from per-window per-axis polynomial RANSAC.
+
+    ``window_starts``: (W,) window start times (from
+    ``reference_window_starts``; may contain NaN for padding). When None (or
+    when cfg.use_sliding_window is False) a single global window covering
+    everything is used — the reference's global mode (EKFGPSSLAM.py:150-183),
+    whose per-axis inlier masks are AND-ed; in sliding mode the reference
+    instead ORs each window's AND-ed mask into the result (union, Q12).
+
+    With cfg.enabled False, returns ``valid`` unchanged.
+    """
+    m = times.shape[0]
+    if valid is None:
+        valid = jnp.ones((m,), bool)
+    if not cfg.enabled:
+        return valid
+
+    dtype = positions.dtype
+    use_windows = cfg.use_sliding_window and window_starts is not None
+    if not use_windows:
+        window_starts = jnp.asarray([-jnp.inf], dtype)
+        duration = jnp.inf
+    else:
+        window_starts = jnp.asarray(window_starts, dtype)
+        duration = cfg.window_duration_seconds
+
+    def axis_ransac(k, w_mask, y):
+        n_w = jnp.sum(w_mask)
+        p_raw = w_mask.astype(dtype)
+        p = p_raw / jnp.maximum(jnp.sum(p_raw), 1.0)
+        p = jnp.where(n_w > 0, p, jnp.ones((m,), dtype) / m)
+
+        def trial(tk):
+            idx = jax.random.choice(tk, m, (cfg.min_samples,), replace=False, p=p)
+            X = _poly_design(times[idx], cfg.polynomial_degree)
+            coef, _, _, _ = jnp.linalg.lstsq(X, y[idx])
+            pred = _poly_design(times, cfg.polynomial_degree) @ coef
+            res = jnp.abs(pred - y)
+            inl = (res < cfg.residual_threshold_meters) & w_mask
+            ok = jnp.all(jnp.isfinite(coef))
+            return jnp.where(ok, jnp.sum(inl), -1), inl
+
+        counts, inls = jax.vmap(trial)(jax.random.split(k, cfg.max_trials))
+        best = jnp.argmax(counts)
+        return inls[best], counts[best] >= 0
+
+    def window_mask(k, start):
+        in_window = (times >= start) & (times < start + duration) & valid
+        n_w = jnp.sum(in_window)
+        window_ok = (n_w >= cfg.min_samples) & jnp.isfinite(start)
+
+        ks = jax.random.split(k, 3)
+        inl_axes, ok_axes = jax.vmap(
+            lambda kk, yy: axis_ransac(kk, in_window, yy), in_axes=(0, 1)
+        )(ks, positions)
+        combined = jnp.all(inl_axes, axis=0) & jnp.all(ok_axes)
+        return jnp.where(window_ok, combined, jnp.zeros((m,), bool))
+
+    n_windows = window_starts.shape[0]
+    wkeys = jax.random.split(key, n_windows)
+    per_window = jax.vmap(window_mask)(wkeys, window_starts)
+
+    if use_windows:
+        mask = jnp.any(per_window, axis=0)  # union across windows (Q12)
+        # Reference behaviour: if fewer points than min_samples overall, the
+        # filter is skipped entirely (EKFGPSSLAM.py:144-146, 193-195).
+        mask = jnp.where(jnp.sum(valid) < cfg.min_samples, valid, mask)
+        return mask
+    else:
+        # Global mode: single window; AND across axes already applied. If the
+        # fit failed (or too few points) the reference keeps everything.
+        mask = per_window[0]
+        fit_failed = ~jnp.any(mask)
+        return jnp.where(
+            (jnp.sum(valid) < cfg.min_samples) | fit_failed, valid, mask
+        )

@@ -1,0 +1,86 @@
+"""Closed-form Sim(3) estimation (Umeyama) — masked/weighted and batched.
+
+TPU-native replacement for compute_sim3_transform (reference:
+EKFGPSSLAM.py:428-459): the same centroid → covariance → SVD → reflection-fix
+→ scale → translation recipe, but expressed with a weight/mask vector so the
+RANSAC driver can refit on arbitrary inlier sets WITHOUT dynamic shapes, and
+`vmap`-batched over RANSAC trials (the 3×3 SVDs batch onto the MXU/VPU).
+
+Reference quirks reproduced (SURVEY §2.5 Q2): the post-correction
+``d=[1,1,det(R)]`` vector is a no-op because R has already been
+reflection-corrected, so the scale is unconditionally trace(Σ)/(n·var_src);
+guards: <3 effective points → invalid, var≈0 → scale 1, scale ≤1e-6 → 1.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+class Sim3(NamedTuple):
+    """A similarity transform dst ≈ s·R·src + t, plus a validity flag."""
+
+    R: jnp.ndarray  # (3,3)
+    t: jnp.ndarray  # (3,)
+    scale: jnp.ndarray  # ()
+    ok: jnp.ndarray  # () bool
+
+
+def umeyama_sim3(
+    src: jnp.ndarray,
+    dst: jnp.ndarray,
+    weights: Optional[jnp.ndarray] = None,
+) -> Sim3:
+    """Weighted Umeyama similarity fit of dst onto src.
+
+    ``weights`` may be a boolean mask or nonnegative floats (None = all ones).
+    With 0/1 weights this matches an unweighted fit on the selected subset
+    exactly. Fully jittable; vmap over a leading batch axis for RANSAC.
+    """
+    dtype = src.dtype
+    n_pts = src.shape[0]
+    if weights is None:
+        w = jnp.ones((n_pts,), dtype)
+    else:
+        w = weights.astype(dtype)
+    wsum = jnp.sum(w)
+    n_eff = wsum  # reference uses the point count; 0/1 weights reproduce it
+    safe_wsum = jnp.where(wsum > 0, wsum, 1.0)
+
+    src_centroid = jnp.sum(w[:, None] * src, axis=0) / safe_wsum
+    dst_centroid = jnp.sum(w[:, None] * dst, axis=0) / safe_wsum
+    src_c = src - src_centroid
+    dst_c = dst - dst_centroid
+
+    # H = Σ w · src_cᵀ dst_c  (3×3) — one small matmul.
+    H = (w[:, None] * src_c).T @ dst_c
+    U, S, Vt = jnp.linalg.svd(H)
+    R = Vt.T @ U.T
+    det = jnp.linalg.det(R)
+    # Reflection fix: flip the last row of Vt when det < 0
+    # (reference: EKFGPSSLAM.py:441-442).
+    Vt_fixed = Vt.at[-1, :].multiply(jnp.where(det < 0, -1.0, 1.0))
+    R = Vt_fixed.T @ U.T
+
+    var_src = jnp.sum(w * jnp.sum(src_c**2, axis=-1)) / safe_wsum
+    # Q2: d = [1,1,det(R)] with det(R)=+1 after the fix ⇒ plain trace.
+    trace_S = jnp.sum(S)
+    raw_scale = trace_S / (n_eff * jnp.where(var_src > 0, var_src, 1.0))
+    scale = jnp.where(var_src < 1e-12, 1.0, raw_scale)
+    scale = jnp.where(scale <= 1e-6, 1.0, scale)
+
+    t = dst_centroid - scale * (R @ src_centroid)
+    ok = n_eff >= 3
+    return Sim3(R=R, t=t, scale=scale, ok=ok)
+
+
+def sim3_residuals(src: jnp.ndarray, dst: jnp.ndarray, sim3: Sim3) -> jnp.ndarray:
+    """Per-point ‖s·src·Rᵀ + t − dst‖ (reference: EKFGPSSLAM.py:409-410)."""
+    pred = sim3.scale * (src @ sim3.R.T) + sim3.t
+    return jnp.linalg.norm(pred - dst, axis=-1)
+
+
+umeyama_sim3_batched = jax.vmap(umeyama_sim3, in_axes=(0, 0, None))

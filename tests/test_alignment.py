@@ -1,0 +1,196 @@
+"""Alignment tests vs a scipy-based oracle implementing the reference
+semantics (gap segmentation, cubic>=4 / linear 2-3, NaN outside spans —
+EKFGPSSLAM.py:325-387), plus static-shape edge cases."""
+
+import numpy as np
+import jax.numpy as jnp
+from scipy.interpolate import interp1d
+
+from gps_optimize_slam_tpu.config import TimeAlignConfig
+from gps_optimize_slam_tpu.ops import alignment
+from tests.conftest import reference_fixture
+
+
+def oracle_align(slam_times, gps_times, gps_pos, gap_threshold=5.0):
+    """Scipy oracle with the reference's segmentation/interp semantics."""
+    order = np.argsort(gps_times, kind="stable")
+    t = gps_times[order]
+    p = gps_pos[order]
+    t, uniq_idx = np.unique(t, return_index=True)
+    p = p[uniq_idx]
+    n = len(t)
+    aligned = np.full((len(slam_times), 3), np.nan)
+    valid = np.zeros(len(slam_times), bool)
+    if n < 2:
+        return aligned, valid
+    gaps = np.where(np.diff(t) > gap_threshold)[0]
+    starts = [0] + (gaps + 1).tolist()
+    ends = gaps.tolist() + [n - 1]
+    for s, e in zip(starts, ends):
+        seg_len = e - s + 1
+        if seg_len < 2:
+            continue
+        st, sp = t[s : e + 1], p[s : e + 1]
+        if not np.all(np.diff(st) > 1e-9):
+            continue
+        kind = "cubic" if seg_len >= 4 else "linear"
+        f = interp1d(st, sp, axis=0, kind=kind, bounds_error=False, fill_value=np.nan)
+        eps = 1e-9
+        sel = np.where((slam_times >= st[0] - eps) & (slam_times <= st[-1] + eps))[0]
+        if len(sel):
+            vals = f(slam_times[sel])
+            aligned[sel] = vals
+            ok = ~np.isnan(vals).any(axis=1)
+            valid[sel[ok]] = True
+    return aligned, valid
+
+
+def load_fixture():
+    gps = np.loadtxt(reference_fixture("combined_output.txt"))
+    slam = np.loadtxt(reference_fixture("yolotum04.txt"))
+    # Use ENU-ish fake positions derived from lat/lon so the oracle doesn't
+    # need a projection; scale to metres.
+    gp = np.stack(
+        [
+            (gps[:, 2] - gps[0, 2]) * 73000.0,
+            (gps[:, 1] - gps[0, 1]) * 111000.0,
+            gps[:, 3],
+        ],
+        axis=-1,
+    )
+    return slam[:, 0], gps[:, 0], gp
+
+
+def test_alignment_matches_oracle_on_fixture():
+    slam_t, gps_t, gps_p = load_fixture()
+    ref_a, ref_v = oracle_align(slam_t, gps_t, gps_p)
+    out = alignment.align_gps_to_slam(
+        jnp.asarray(slam_t), jnp.asarray(gps_t), jnp.asarray(gps_p)
+    )
+    np.testing.assert_array_equal(np.asarray(out.valid), ref_v)
+    np.testing.assert_allclose(
+        np.asarray(out.aligned)[ref_v], ref_a[ref_v], atol=1e-9
+    )
+
+
+def test_alignment_with_gaps_and_short_segments():
+    rng = np.random.default_rng(0)
+    # Segments: 10 pts, [gap], 3 pts (linear), [gap], 1 pt (dropped),
+    # [gap], 5 pts.
+    seg_times = [
+        np.linspace(0.0, 4.5, 10),
+        np.array([11.0, 11.7, 12.9]),
+        np.array([20.0]),
+        np.linspace(30.0, 33.0, 5),
+    ]
+    gps_t = np.concatenate(seg_times)
+    gps_p = rng.normal(size=(len(gps_t), 3)) * 5
+    slam_t = np.linspace(-1.0, 35.0, 200)
+    ref_a, ref_v = oracle_align(slam_t, gps_t, gps_p)
+    out = alignment.align_gps_to_slam(
+        jnp.asarray(slam_t), jnp.asarray(gps_t), jnp.asarray(gps_p)
+    )
+    np.testing.assert_array_equal(np.asarray(out.valid), ref_v)
+    np.testing.assert_allclose(np.asarray(out.aligned)[ref_v], ref_a[ref_v], atol=1e-9)
+    # Sanity: the 1-point segment contributes no validity.
+    assert not ref_v[(slam_t > 15) & (slam_t < 25)].any()
+
+
+def test_alignment_duplicates_and_unsorted():
+    rng = np.random.default_rng(1)
+    gps_t = np.array([0.0, 0.5, 0.5, 1.0, 1.5, 2.0, 2.5, 0.25])
+    gps_p = rng.normal(size=(8, 3))
+    slam_t = np.linspace(0.0, 2.5, 40)
+    ref_a, ref_v = oracle_align(slam_t, gps_t, gps_p)
+    out = alignment.align_gps_to_slam(
+        jnp.asarray(slam_t), jnp.asarray(gps_t), jnp.asarray(gps_p)
+    )
+    np.testing.assert_array_equal(np.asarray(out.valid), ref_v)
+    np.testing.assert_allclose(np.asarray(out.aligned)[ref_v], ref_a[ref_v], atol=1e-9)
+
+
+def test_alignment_knot_exact_and_boundaries():
+    gps_t = np.linspace(0.0, 9.0, 10)
+    gps_p = np.stack([np.sin(gps_t), np.cos(gps_t), gps_t], axis=-1)
+    slam_t = np.concatenate([gps_t, [-0.1, 9.1, 4.55]])
+    out = alignment.align_gps_to_slam(
+        jnp.asarray(slam_t), jnp.asarray(gps_t), jnp.asarray(gps_p)
+    )
+    v = np.asarray(out.valid)
+    a = np.asarray(out.aligned)
+    # Exact knots reproduce values exactly (incl. first and last knot).
+    assert v[:10].all()
+    np.testing.assert_allclose(a[:10], gps_p, atol=1e-12)
+    # Outside span → invalid.
+    assert not v[10] and not v[11]
+    assert v[12]
+
+
+def test_alignment_gps_valid_mask():
+    gps_t = np.linspace(0.0, 9.0, 10)
+    gps_p = np.stack([gps_t, gps_t * 2, gps_t * 3], axis=-1)
+    mask = np.ones(10, bool)
+    mask[[3, 7]] = False
+    slam_t = np.linspace(0.0, 9.0, 50)
+    ref_a, ref_v = oracle_align(slam_t, gps_t[mask], gps_p[mask])
+    out = alignment.align_gps_to_slam(
+        jnp.asarray(slam_t),
+        jnp.asarray(gps_t),
+        jnp.asarray(gps_p),
+        gps_valid=jnp.asarray(mask),
+    )
+    np.testing.assert_array_equal(np.asarray(out.valid), ref_v)
+    np.testing.assert_allclose(np.asarray(out.aligned)[ref_v], ref_a[ref_v], atol=1e-9)
+
+
+def test_alignment_all_invalid():
+    gps_t = np.linspace(0, 5, 6)
+    gps_p = np.zeros((6, 3))
+    out = alignment.align_gps_to_slam(
+        jnp.asarray(np.linspace(0, 5, 10)),
+        jnp.asarray(gps_t),
+        jnp.asarray(gps_p),
+        gps_valid=jnp.zeros(6, bool),
+    )
+    assert not np.asarray(out.valid).any()
+
+
+def test_estimate_time_offset_is_zero_on_ramps():
+    # SURVEY §2.5 Q1: correlating z-scored resampled ramps peaks at lag 0.
+    slam_t = np.linspace(0, 28.1, 271)
+    gps_t = np.linspace(100.0, 129.3, 279)
+    assert alignment.estimate_time_offset(slam_t, gps_t, 500) == 0.0
+    assert alignment.estimate_time_offset(slam_t[:1], gps_t, 500) == 0.0
+
+
+def test_sim3_window_mask_fixture_covers_all():
+    # seq-04: single gap-free 28 s segment < 180 s → window = all valid pts.
+    slam_t, gps_t, gps_p = load_fixture()
+    out = alignment.align_gps_to_slam(
+        jnp.asarray(slam_t), jnp.asarray(gps_t), jnp.asarray(gps_p)
+    )
+    m = alignment.sim3_window_mask(
+        jnp.asarray(slam_t), out.valid, 5.0, 180.0, 4
+    )
+    np.testing.assert_array_equal(np.asarray(m), np.asarray(out.valid))
+
+
+def test_sim3_window_mask_truncates_long_first_segment():
+    slam_t = np.linspace(0.0, 400.0, 401)
+    valid = np.ones(401, bool)
+    m = np.asarray(
+        alignment.sim3_window_mask(jnp.asarray(slam_t), jnp.asarray(valid), 5.0, 180.0, 4)
+    )
+    assert m[: 181].all() and not m[181:].any()
+
+
+def test_sim3_window_mask_skips_to_all_when_first_run_short():
+    # First run has 2 valid points (< min_samples=4) then a gap, then many.
+    slam_t = np.linspace(0.0, 100.0, 101)
+    valid = np.zeros(101, bool)
+    valid[[0, 1]] = True
+    valid[50:] = True
+    m = np.asarray(
+        alignment.sim3_window_mask(jnp.asarray(slam_t), jnp.asarray(valid), 5.0, 180.0, 4)
+    )
+    np.testing.assert_array_equal(m, valid)

@@ -1,0 +1,241 @@
+"""Tests for Umeyama Sim(3) + RANSAC estimators against NumPy/sklearn
+oracles mirroring the reference semantics (EKFGPSSLAM.py:136-247, 389-467)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from scipy.spatial.transform import Rotation
+
+from gps_optimize_slam_tpu.config import GPSFilterConfig, Sim3RansacConfig
+from gps_optimize_slam_tpu.ops import ransac
+from gps_optimize_slam_tpu.ops.umeyama import Sim3, sim3_residuals, umeyama_sim3
+from tests.conftest import reference_fixture
+
+
+def oracle_umeyama(src, dst):
+    """NumPy mirror of compute_sim3_transform (EKFGPSSLAM.py:428-459)."""
+    n = src.shape[0]
+    if n < 3:
+        return None
+    sc, dc = src.mean(0), dst.mean(0)
+    s_c, d_c = src - sc, dst - dc
+    H = s_c.T @ d_c
+    U, S, Vt = np.linalg.svd(H)
+    R = Vt.T @ U.T
+    if np.linalg.det(R) < 0:
+        Vt2 = Vt.copy()
+        Vt2[-1, :] *= -1
+        R = Vt2.T @ U.T
+    var = (s_c**2).sum() / n
+    scale = S.sum() / (n * var) if var >= 1e-12 else 1.0
+    if scale <= 1e-6:
+        scale = 1.0
+    t = dc - scale * (R @ sc)
+    return R, t, scale
+
+
+def make_cloud(n=120, seed=0, reflectish=False):
+    rng = np.random.default_rng(seed)
+    src = rng.normal(size=(n, 3)) * 20
+    if reflectish:
+        # Nearly planar cloud stresses the det<0 branch.
+        src[:, 2] *= 1e-3
+    R = Rotation.from_rotvec(rng.normal(size=3)).as_matrix()
+    t = rng.normal(size=3) * 50
+    s = 0.9871
+    dst = s * src @ R.T + t
+    return src, dst, R, t, s
+
+
+def test_umeyama_recovers_exact_transform():
+    src, dst, R, t, s = make_cloud()
+    fit = umeyama_sim3(jnp.asarray(src), jnp.asarray(dst))
+    assert bool(fit.ok)
+    np.testing.assert_allclose(np.asarray(fit.R), R, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(fit.t), t, atol=1e-8)
+    assert abs(float(fit.scale) - s) < 1e-10
+
+
+def test_umeyama_matches_oracle_random():
+    rng = np.random.default_rng(3)
+    for seed in range(5):
+        src = rng.normal(size=(50, 3)) * 10
+        dst = rng.normal(size=(50, 3)) * 10  # unrelated clouds
+        fit = umeyama_sim3(jnp.asarray(src), jnp.asarray(dst))
+        R, t, s = oracle_umeyama(src, dst)
+        np.testing.assert_allclose(np.asarray(fit.R), R, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(fit.t), t, atol=1e-7)
+        assert abs(float(fit.scale) - s) < 1e-9
+
+
+def test_umeyama_reflection_branch():
+    src, dst, R, t, s = make_cloud(reflectish=True, seed=7)
+    # Mirror dst to force a det<0 raw SVD solution.
+    M = np.diag([1.0, 1.0, -1.0])
+    dst_m = dst @ M
+    fit = umeyama_sim3(jnp.asarray(src), jnp.asarray(dst_m))
+    Ro, to, so = oracle_umeyama(src, dst_m)
+    np.testing.assert_allclose(np.asarray(fit.R), Ro, atol=1e-9)
+    assert abs(np.linalg.det(np.asarray(fit.R)) - 1.0) < 1e-9
+
+
+def test_umeyama_weighted_equals_subset():
+    src, dst, *_ = make_cloud(seed=11)
+    idx = np.arange(0, 120, 3)
+    w = np.zeros(120)
+    w[idx] = 1.0
+    fit_w = umeyama_sim3(jnp.asarray(src), jnp.asarray(dst), jnp.asarray(w))
+    fit_s = umeyama_sim3(jnp.asarray(src[idx]), jnp.asarray(dst[idx]))
+    np.testing.assert_allclose(np.asarray(fit_w.R), np.asarray(fit_s.R), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(fit_w.t), np.asarray(fit_s.t), atol=1e-8)
+    assert abs(float(fit_w.scale) - float(fit_s.scale)) < 1e-10
+
+
+def test_umeyama_guards():
+    # <3 points → not ok.
+    fit = umeyama_sim3(jnp.zeros((5, 3)), jnp.zeros((5, 3)), jnp.asarray([1.0, 1, 0, 0, 0]))
+    assert not bool(fit.ok)
+    # Zero-variance source → scale 1.
+    src = np.tile([1.0, 2.0, 3.0], (10, 1))
+    dst = np.random.default_rng(0).normal(size=(10, 3))
+    fit = umeyama_sim3(jnp.asarray(src), jnp.asarray(dst))
+    assert float(fit.scale) == 1.0
+
+
+def test_sim3_ransac_rejects_outliers():
+    src, dst, R, t, s = make_cloud(n=200, seed=13)
+    rng = np.random.default_rng(14)
+    dst_corrupt = dst.copy()
+    bad = rng.choice(200, 30, replace=False)
+    dst_corrupt[bad] += rng.normal(size=(30, 3)) * 100 + 50
+    res = ransac.sim3_ransac(
+        jax.random.PRNGKey(0), jnp.asarray(src), jnp.asarray(dst_corrupt)
+    )
+    assert bool(res.ok)
+    mask = np.asarray(res.inlier_mask)
+    assert not mask[bad].any()
+    assert mask.sum() == 170
+    np.testing.assert_allclose(np.asarray(res.sim3.R), R, atol=1e-9)
+    assert abs(float(res.sim3.scale) - s) < 1e-9
+
+
+def test_sim3_ransac_clean_equals_direct_fit():
+    src, dst, *_ = make_cloud(n=100, seed=15)
+    res = ransac.sim3_ransac(
+        jax.random.PRNGKey(1), jnp.asarray(src), jnp.asarray(dst),
+        cfg=Sim3RansacConfig(max_trials=32),
+    )
+    direct = umeyama_sim3(jnp.asarray(src), jnp.asarray(dst))
+    assert int(res.num_inliers) == 100
+    np.testing.assert_allclose(np.asarray(res.sim3.R), np.asarray(direct.R), atol=1e-10)
+
+
+def test_sim3_ransac_seed_independent_when_converged():
+    src, dst, *_ = make_cloud(n=100, seed=16)
+    fits = [
+        ransac.sim3_ransac(jax.random.PRNGKey(k), jnp.asarray(src), jnp.asarray(dst))
+        for k in range(3)
+    ]
+    for f in fits[1:]:
+        np.testing.assert_allclose(
+            np.asarray(f.sim3.R), np.asarray(fits[0].sim3.R), atol=1e-12
+        )
+
+
+def test_sim3_ransac_too_few_points():
+    res = ransac.sim3_ransac(
+        jax.random.PRNGKey(0), jnp.zeros((10, 3)), jnp.zeros((10, 3)),
+        valid=jnp.zeros(10, bool),
+    )
+    assert not bool(res.ok)
+
+
+def sklearn_filter_oracle(times, positions, cfg: GPSFilterConfig, seed=0):
+    """sklearn mirror of the reference's sliding-window filter
+    (EKFGPSSLAM.py:184-247), returning a keep mask."""
+    from sklearn.linear_model import RANSACRegressor
+    from sklearn.preprocessing import PolynomialFeatures
+    from sklearn.pipeline import make_pipeline
+
+    np.random.seed(seed)
+    n = len(times)
+    overall = np.zeros(n, bool)
+    starts = ransac.reference_window_starts(times, cfg)
+    for ws in starts:
+        sel = np.where((times >= ws) & (times < ws + cfg.window_duration_seconds))[0]
+        if len(sel) < cfg.min_samples:
+            continue
+        tw = times[sel].reshape(-1, 1)
+        masks = []
+        try:
+            for d in range(3):
+                model = make_pipeline(
+                    PolynomialFeatures(degree=cfg.polynomial_degree),
+                    RANSACRegressor(
+                        min_samples=cfg.min_samples,
+                        residual_threshold=cfg.residual_threshold_meters,
+                        max_trials=cfg.max_trials,
+                    ),
+                )
+                model.fit(tw, positions[sel, d])
+                masks.append(model[-1].inlier_mask_)
+            overall[sel[np.logical_and.reduce(masks)]] = True
+        except Exception:
+            continue
+    return overall
+
+
+def test_gps_ransac_matches_sklearn_on_clean_plus_outliers():
+    rng = np.random.default_rng(20)
+    t = np.arange(0.0, 40.0, 0.1)
+    n = len(t)
+    pos = np.stack([3.0 * t + 0.01 * t**2, -2.0 * t, 0.1 * np.sin(0.2 * t)], -1)
+    pos += rng.normal(size=(n, 3)) * 0.3
+    bad = rng.choice(n, 12, replace=False)
+    pos[bad] += rng.normal(size=(12, 3)) * 80 + 40
+
+    cfg = GPSFilterConfig()
+    oracle = sklearn_filter_oracle(t, pos, cfg)
+    starts = ransac.reference_window_starts(t, cfg)
+    ours = np.asarray(
+        ransac.gps_poly_ransac_mask(
+            jax.random.PRNGKey(0),
+            jnp.asarray(t),
+            jnp.asarray(pos),
+            window_starts=jnp.asarray(starts),
+            cfg=cfg,
+        )
+    )
+    # Converged masks must agree exactly on well-separated outliers.
+    np.testing.assert_array_equal(ours, oracle)
+    assert not ours[bad].any()
+
+
+def test_gps_ransac_fixture_keeps_everything():
+    # The shipped seq-04 GNSS track has no outliers at the 10 m threshold.
+    gps = np.loadtxt(reference_fixture("combined_output.txt"))
+    t = gps[:, 0]
+    pos = np.stack(
+        [(gps[:, 2] - gps[0, 2]) * 73000.0, (gps[:, 1] - gps[0, 1]) * 111000.0, gps[:, 3]],
+        -1,
+    )
+    cfg = GPSFilterConfig()
+    starts = ransac.reference_window_starts(t, cfg)
+    ours = np.asarray(
+        ransac.gps_poly_ransac_mask(
+            jax.random.PRNGKey(0), jnp.asarray(t), jnp.asarray(pos),
+            window_starts=jnp.asarray(starts), cfg=cfg,
+        )
+    )
+    assert ours.all()
+    oracle = sklearn_filter_oracle(t, pos, cfg)
+    np.testing.assert_array_equal(ours, oracle)
+
+
+def test_gps_ransac_disabled_passthrough():
+    cfg = GPSFilterConfig(enabled=False)
+    valid = jnp.asarray([True, False, True])
+    out = ransac.gps_poly_ransac_mask(
+        jax.random.PRNGKey(0), jnp.zeros(3), jnp.zeros((3, 3)), valid=valid, cfg=cfg
+    )
+    np.testing.assert_array_equal(np.asarray(out), [True, False, True])
