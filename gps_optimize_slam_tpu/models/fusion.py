@@ -1,0 +1,144 @@
+"""The flagship fusion model: Sim(3) global alignment + EKF/RTS local fusion
+as ONE jittable device program.
+
+This is the TPU-native equivalent of the reference's 7-step recipe
+(main_process_gui, EKFGPSSLAM.py:940-1123) minus host I/O: given SLAM and
+GPS arrays already on device, a single `fuse_core` call performs temporal
+alignment, Sim3 window selection, RANSAC+Umeyama global alignment,
+trajectory transformation, EKF forward filtering, and outage-gated RTS
+smoothing — everything fused by XLA, vmappable across sequences and
+shardable across a device mesh (gps_optimize_slam_tpu.parallel).
+
+Note the reference recomputes the temporal alignment 3-4× per run
+(quirk Q9); here it is computed once and reused.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from gps_optimize_slam_tpu.config import FusionConfig
+from gps_optimize_slam_tpu.ops import alignment, kalman, metrics, ransac, se3
+from gps_optimize_slam_tpu.ops.umeyama import Sim3
+
+
+class FusionOutputs(NamedTuple):
+    """Everything the evaluation/export layers need, static shapes."""
+
+    corrected_pos: jnp.ndarray  # (N,3) EKF+RTS fused trajectory
+    corrected_quat: jnp.ndarray  # (N,4)
+    sim3_pos: jnp.ndarray  # (N,3) Sim3-aligned trajectory (EKF input)
+    sim3_quat: jnp.ndarray  # (N,4)
+    sim3: Sim3  # global transform (R, t, scale, ok)
+    sim3_inliers: jnp.ndarray  # (N,) bool RANSAC inliers within calc window
+    aligned_gps: jnp.ndarray  # (N,3) GPS interpolated to SLAM timestamps
+    gps_valid: jnp.ndarray  # (N,) bool
+    ok: jnp.ndarray  # () bool — pipeline succeeded
+
+
+@partial(jax.jit, static_argnames=("config",))
+def fuse_core(
+    slam_times: jnp.ndarray,
+    slam_pos: jnp.ndarray,
+    slam_quat: jnp.ndarray,
+    gps_times: jnp.ndarray,
+    gps_positions: jnp.ndarray,
+    gps_valid: jnp.ndarray,
+    key: jax.Array,
+    config: FusionConfig = FusionConfig(),
+) -> FusionOutputs:
+    """Full fusion of one sequence. All inputs fixed-shape; invalid GPS
+    samples are masked via ``gps_valid`` (output of the outlier gate)."""
+    aligned = alignment.align_gps_to_slam(
+        slam_times,
+        gps_times,
+        gps_positions,
+        gps_valid=gps_valid,
+        cfg=config.time_alignment,
+    )
+
+    window = alignment.sim3_window_mask(
+        slam_times,
+        aligned.valid,
+        gap_threshold=config.time_alignment.max_gps_gap_threshold,
+        max_duration=config.sim3_ransac.max_initial_duration,
+        min_samples=config.sim3_ransac.min_samples,
+    )
+
+    sim3_res = ransac.sim3_ransac(
+        key,
+        slam_pos,
+        jnp.nan_to_num(aligned.aligned, nan=0.0),
+        valid=window,
+        cfg=config.sim3_ransac,
+    )
+
+    sim3_pos, sim3_quat = se3.transform_trajectory(
+        slam_pos, slam_quat, sim3_res.sim3.R, sim3_res.sim3.t, sim3_res.sim3.scale
+    )
+
+    corrected_pos, corrected_quat = kalman.fuse_ekf_rts(
+        slam_times,
+        slam_pos,
+        slam_quat,
+        sim3_pos,
+        sim3_quat,
+        aligned.aligned,
+        aligned.valid,
+        ekf_cfg=config.ekf,
+        rts_cfg=config.rts_decision,
+    )
+
+    return FusionOutputs(
+        corrected_pos=corrected_pos,
+        corrected_quat=corrected_quat,
+        sim3_pos=sim3_pos,
+        sim3_quat=sim3_quat,
+        sim3=sim3_res.sim3,
+        sim3_inliers=sim3_res.inlier_mask,
+        aligned_gps=aligned.aligned,
+        gps_valid=aligned.valid,
+        ok=sim3_res.ok,
+    )
+
+
+class Evaluation(NamedTuple):
+    nn_slam: metrics.ErrorStats
+    nn_sim3: metrics.ErrorStats
+    nn_ekf: metrics.ErrorStats
+    ate_sim3: metrics.ErrorStats
+    ate_ekf: metrics.ErrorStats
+
+
+@jax.jit
+def evaluate(
+    slam_times: jnp.ndarray,
+    slam_pos: jnp.ndarray,
+    outputs: FusionOutputs,
+    skip_seconds: float = 5.0,
+) -> Evaluation:
+    """Reference-metric (NN, post-5 s — quirk Q6) and paired-ATE stats for
+    raw SLAM / Sim3-aligned / EKF-fused trajectories vs the aligned GPS."""
+    gate = metrics.eval_mask(slam_times, outputs.gps_valid, skip_seconds)
+    cands = jnp.nan_to_num(outputs.aligned_gps, nan=0.0)
+    cand_mask = gate  # the reference's candidate set is the same gated rows
+
+    def nn(traj):
+        e = metrics.nn_errors(traj, cands, gate, cand_mask)
+        return metrics.error_stats(e, gate)
+
+    def ate(traj):
+        e = metrics.paired_errors(traj, outputs.aligned_gps, gate)
+        return metrics.error_stats(e, gate)
+
+    return Evaluation(
+        nn_slam=nn(slam_pos),
+        nn_sim3=nn(outputs.sim3_pos),
+        nn_ekf=nn(outputs.corrected_pos),
+        ate_sim3=ate(outputs.sim3_pos),
+        ate_ekf=ate(outputs.corrected_pos),
+    )

@@ -1,0 +1,229 @@
+"""Host-side orchestration: files → device fusion → evaluation → export.
+
+Replaces the reference's GUI-driven main_process_gui (EKFGPSSLAM.py:940-1123)
+with a config/argument-driven API (and CLI in gps_optimize_slam_tpu.cli):
+no tkinter, no blocking dialogs — the GUI was incidental to the capability
+(SURVEY §2.2). The numeric path is identical: load → UTM project → RANSAC
+outlier gate → one jitted `fuse_core` call → evaluation → TUM export in UTM
+and WGS84.
+
+Frame choice: ``frame="utm"`` reproduces the reference's UTM working frame
+(needed for golden parity); ``frame="enu"`` uses a local East/North/Up
+tangent frame — the TPU-native option whose small coordinates keep float32
+viable on-chip (BASELINE.json north star).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from gps_optimize_slam_tpu.config import FusionConfig, GPSFilterConfig
+from gps_optimize_slam_tpu.io import gps as gps_io
+from gps_optimize_slam_tpu.io import tum as tum_io
+from gps_optimize_slam_tpu.models import fusion
+from gps_optimize_slam_tpu.ops import alignment, geodesy, ransac
+
+
+@dataclasses.dataclass
+class GPSData:
+    """Projected + outlier-gated GNSS track."""
+
+    timestamps: np.ndarray  # (M,) all loaded fixes
+    positions: np.ndarray  # (M,3) projected (UTM or ENU)
+    valid: np.ndarray  # (M,) bool — range-valid AND RANSAC inlier
+    frame: str
+    utm_zone: int
+    utm_south: bool
+    enu_origin: Optional[np.ndarray] = None  # (lon, lat, alt) when frame=enu
+
+
+@dataclasses.dataclass
+class FusionResult:
+    slam: Dict[str, np.ndarray]
+    gps: GPSData
+    outputs: fusion.FusionOutputs
+    evaluation: fusion.Evaluation
+    config: FusionConfig
+
+    @property
+    def corrected_pos(self) -> np.ndarray:
+        return np.asarray(self.outputs.corrected_pos)
+
+    @property
+    def corrected_quat(self) -> np.ndarray:
+        return np.asarray(self.outputs.corrected_quat)
+
+    @property
+    def sim3_scale(self) -> float:
+        return float(self.outputs.sim3.scale)
+
+    def summary(self) -> str:
+        ev = self.evaluation
+        lines = [
+            f"poses: {len(self.slam['timestamps'])}, "
+            f"gps fixes kept: {int(self.gps.valid.sum())}/{len(self.gps.valid)}, "
+            f"frame: {self.gps.frame} (zone {self.gps.utm_zone}"
+            f"{'S' if self.gps.utm_south else 'N'})",
+            f"sim3: scale={self.sim3_scale:.6f} ok={bool(self.outputs.ok)} "
+            f"inliers={int(np.asarray(self.outputs.sim3_inliers).sum())}",
+        ]
+        for name, st in [
+            ("raw SLAM  (NN)", ev.nn_slam),
+            ("Sim3      (NN)", ev.nn_sim3),
+            ("EKF fused (NN)", ev.nn_ekf),
+            ("Sim3     (ATE)", ev.ate_sim3),
+            ("EKF      (ATE)", ev.ate_ekf),
+        ]:
+            lines.append(
+                f"{name}: mean={float(st.mean):.3f}m median={float(st.median):.3f}m "
+                f"rmse={float(st.rmse):.3f}m max={float(st.max):.3f}m "
+                f"n={int(st.count)}"
+            )
+        return "\n".join(lines)
+
+
+def load_and_project_gps(
+    path: str,
+    filter_cfg: GPSFilterConfig,
+    frame: str = "utm",
+    lon_first: bool = False,
+    seed: int = 0,
+    dtype=None,
+) -> GPSData:
+    """Load GNSS fixes, project to the working frame, gate outliers.
+
+    Equivalent of load_gps_data (reference: EKFGPSSLAM.py:249-289) with the
+    filter returning a mask instead of dropping rows."""
+    raw = gps_io.read_gps_fixes(path, lon_first=lon_first)
+    valid = raw["valid"]
+    if valid.sum() == 0:
+        raise ValueError(f"no valid GPS fixes in {path}")
+    zone, south = geodesy.utm_zone_from_lonlat(
+        raw["lons"][valid], raw["lats"][valid]
+    )
+    dtype = dtype or jnp.float64
+    lons = jnp.asarray(raw["lons"], dtype)
+    lats = jnp.asarray(raw["lats"], dtype)
+    alts = jnp.asarray(raw["alts"], dtype)
+    enu_origin = None
+    if frame == "utm":
+        x, y = geodesy.utm_forward(lons, lats, zone, south)
+        positions = jnp.stack([x, y, alts], axis=-1)
+    elif frame == "enu":
+        first = int(np.argmax(valid))
+        enu_origin = np.array(
+            [raw["lons"][first], raw["lats"][first], raw["alts"][first]]
+        )
+        positions = geodesy.wgs84_to_enu(
+            lons, lats, alts, enu_origin[0], enu_origin[1], enu_origin[2]
+        )
+    else:
+        raise ValueError(f"unknown frame {frame!r} (use 'utm' or 'enu')")
+
+    times = jnp.asarray(raw["timestamps"], dtype)
+    if filter_cfg.enabled and filter_cfg.use_sliding_window:
+        starts = ransac.reference_window_starts(
+            raw["timestamps"][valid], filter_cfg
+        )
+        window_starts = jnp.asarray(starts, dtype) if len(starts) else None
+    else:
+        window_starts = None
+    keep = ransac.gps_poly_ransac_mask(
+        jax.random.PRNGKey(seed),
+        times,
+        positions,
+        valid=jnp.asarray(valid),
+        window_starts=window_starts,
+        cfg=filter_cfg,
+    )
+    return GPSData(
+        timestamps=raw["timestamps"],
+        positions=np.asarray(positions),
+        valid=np.asarray(keep),
+        frame=frame,
+        utm_zone=zone,
+        utm_south=south,
+        enu_origin=enu_origin,
+    )
+
+
+def fuse_arrays(
+    slam: Dict[str, np.ndarray],
+    gps: GPSData,
+    config: FusionConfig = FusionConfig(),
+    seed: int = 0,
+    dtype=None,
+) -> FusionResult:
+    """Run the jitted fusion + evaluation on loaded arrays."""
+    dtype = dtype or jnp.float64
+    slam_times = jnp.asarray(slam["timestamps"], dtype)
+    slam_pos = jnp.asarray(slam["positions"], dtype)
+    slam_quat = jnp.asarray(slam["quaternions"], dtype)
+    outputs = fusion.fuse_core(
+        slam_times,
+        slam_pos,
+        slam_quat,
+        jnp.asarray(gps.timestamps, dtype),
+        jnp.asarray(gps.positions, dtype),
+        jnp.asarray(gps.valid),
+        jax.random.PRNGKey(seed),
+        config,
+    )
+    if not bool(outputs.ok):
+        raise RuntimeError(
+            "Sim3 global alignment failed (not enough temporally aligned "
+            "points or RANSAC consensus too small)"
+        )
+    ev = fusion.evaluate(slam_times, slam_pos, outputs)
+    return FusionResult(slam=slam, gps=gps, outputs=outputs, evaluation=ev, config=config)
+
+
+def fuse_files(
+    slam_path: str,
+    gps_path: str,
+    config: FusionConfig = FusionConfig(),
+    frame: str = "utm",
+    seed: int = 0,
+    dtype=None,
+) -> FusionResult:
+    """End-to-end: TUM SLAM file + GNSS fix file → fused trajectory."""
+    slam = tum_io.read_tum(slam_path)
+    gps = load_and_project_gps(
+        gps_path, config.gps_filtering_ransac, frame=frame, seed=seed, dtype=dtype
+    )
+    return fuse_arrays(slam, gps, config=config, seed=seed, dtype=dtype)
+
+
+def export_result(
+    result: FusionResult,
+    utm_path: str,
+    wgs84_path: Optional[str] = None,
+) -> None:
+    """Write the corrected trajectory in the working frame (TUM format) and
+    optionally WGS84 (reference exporter: EKFGPSSLAM.py:1086-1105)."""
+    ts = result.slam["timestamps"]
+    tum_io.write_tum(
+        utm_path,
+        ts,
+        result.corrected_pos,
+        result.corrected_quat,
+        header="timestamp x y z qx qy qz qw (UTM)",
+    )
+    if wgs84_path:
+        if result.gps.frame != "utm":
+            raise ValueError("WGS84 export requires the UTM working frame")
+        pos = result.corrected_pos
+        lon, lat = geodesy.utm_inverse(
+            jnp.asarray(pos[:, 0]),
+            jnp.asarray(pos[:, 1]),
+            result.gps.utm_zone,
+            result.gps.utm_south,
+        )
+        lonlatalt = np.column_stack([np.asarray(lon), np.asarray(lat), pos[:, 2]])
+        tum_io.write_wgs84(wgs84_path, ts, lonlatalt, result.corrected_quat)

@@ -1,0 +1,141 @@
+"""Golden end-to-end parity vs the ACTUAL reference pipeline.
+
+tests/golden/seq04_golden.npz was produced by running the unmodified
+reference (/root/reference/EKFGPSSLAM.py) on the shipped KITTI seq-04
+fixture (generator: tests/golden/generate.py; seeds 0/1/2 verified to give
+identical converged outputs). These tests run the new framework end-to-end
+(files → fused trajectory) and demand ≤1e-6 m agreement on the fused
+trajectory — the BASELINE.json parity bar."""
+
+import json
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from gps_optimize_slam_tpu import pipeline
+from gps_optimize_slam_tpu.config import FusionConfig
+from tests.conftest import reference_fixture
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "seq04_golden.npz")
+
+
+@pytest.fixture(scope="module")
+def golden():
+    return np.load(GOLDEN)
+
+
+@pytest.fixture(scope="module")
+def result():
+    return pipeline.fuse_files(
+        slam_path=reference_fixture("yolotum04.txt"),
+        gps_path=reference_fixture("combined_output.txt"),
+        frame="utm",
+    )
+
+
+def test_gps_projection_matches_golden(golden, result):
+    # All 279 fixes valid + RANSAC keeps everything (as the reference did).
+    assert result.gps.valid.all()
+    np.testing.assert_allclose(result.gps.positions, golden["gps_utm"], atol=1e-7)
+
+
+def test_alignment_matches_golden(golden, result):
+    np.testing.assert_array_equal(
+        np.asarray(result.outputs.gps_valid), golden["valid_mask"]
+    )
+    v = golden["valid_mask"]
+    np.testing.assert_allclose(
+        np.asarray(result.outputs.aligned_gps)[v], golden["aligned_gps"][v], atol=1e-7
+    )
+
+
+def test_sim3_matches_golden(golden, result):
+    assert bool(result.outputs.ok)
+    assert int(np.asarray(result.outputs.sim3_inliers).sum()) == len(
+        golden["sim3_calc_idx"]
+    )
+    np.testing.assert_allclose(
+        np.asarray(result.outputs.sim3.R), golden["sim3_R"], atol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(result.outputs.sim3.t), golden["sim3_t"], atol=1e-4
+    )
+    assert abs(result.sim3_scale - float(golden["sim3_scale"])) < 1e-9
+    np.testing.assert_allclose(
+        np.asarray(result.outputs.sim3_pos), golden["sim3_pos"], atol=1e-6
+    )
+
+
+def test_fused_trajectory_matches_golden_1e6(golden, result):
+    # The headline parity bar: ≤1e-6 m on every fused position.
+    diff = np.abs(result.corrected_pos - golden["corrected_pos"])
+    assert diff.max() < 1e-6, f"max deviation {diff.max():.3e} m"
+    dots = np.abs(
+        np.sum(result.corrected_quat * golden["corrected_quat"], axis=-1)
+    )
+    np.testing.assert_allclose(dots, 1.0, atol=1e-9)
+
+
+def test_error_metrics_match_golden(golden, result):
+    meta = json.load(
+        open(os.path.join(os.path.dirname(GOLDEN), "seq04_meta.json"))
+    )
+    ev = result.evaluation
+    assert abs(float(ev.nn_sim3.rmse) - meta["rmse_sim3"]) < 1e-6
+    assert abs(float(ev.nn_ekf.rmse) - meta["rmse_ekf"]) < 1e-6
+    assert abs(float(ev.nn_ekf.mean) - meta["mean_ekf"]) < 1e-6
+    # And they reproduce the measured BASELINE.md numbers.
+    assert abs(float(ev.nn_ekf.rmse) - 0.084) < 1e-3
+    assert abs(float(ev.nn_sim3.rmse) - 0.215) < 1e-3
+    assert abs(result.sim3_scale - 0.986986) < 1e-6
+
+
+def test_export_roundtrip(tmp_path, result):
+    utm = tmp_path / "corrected_utm.txt"
+    wgs = tmp_path / "corrected_wgs84.txt"
+    pipeline.export_result(result, str(utm), str(wgs))
+    back = np.loadtxt(utm, skiprows=1)
+    np.testing.assert_allclose(back[:, 1:4], result.corrected_pos, atol=1e-6)
+    w = np.loadtxt(wgs, skiprows=1)
+    assert w.shape == (271, 8)
+    assert np.all(np.abs(w[:, 1] - 8.39) < 0.1)  # lon
+    assert np.all(np.abs(w[:, 2] - 49.03) < 0.1)  # lat
+
+
+def test_ground_truth_gnss_path(golden):
+    # The GT GNSS file (lon-first columns, quirk Q4) exercises the second
+    # loader path + disabled-filter config, as the reference's GT flow does.
+    from gps_optimize_slam_tpu.io.gps import read_gps_fixes
+
+    cfg = FusionConfig()
+    gt = read_gps_fixes(reference_fixture("5.1Kitti04gps"), lon_first=True)
+    assert gt["valid"].all()
+    assert abs(gt["lats"].mean() - 49.03) < 0.1
+    gps = pipeline.load_and_project_gps(
+        reference_fixture("5.1Kitti04gps"),
+        cfg.ground_truth_gps_filtering,
+        frame="utm",
+        lon_first=True,
+    )
+    assert gps.valid.all()  # filter disabled → passthrough
+    # Evaluating the golden EKF output against GT reproduces the measured
+    # 0.173 m (BASELINE.md) — run the evaluation path on GT candidates.
+    import jax
+    from gps_optimize_slam_tpu.ops import alignment, metrics
+
+    slam_t = jnp.asarray(golden["slam_times"])
+    al = alignment.align_gps_to_slam(
+        slam_t, jnp.asarray(gps.timestamps), jnp.asarray(gps.positions),
+        gps_valid=jnp.asarray(gps.valid),
+    )
+    gate = metrics.eval_mask(slam_t, al.valid, 5.0)
+    errs = metrics.nn_errors(
+        jnp.asarray(golden["corrected_pos"]),
+        jnp.nan_to_num(al.aligned, nan=0.0),
+        gate,
+        gate,
+    )
+    st = metrics.error_stats(errs, gate)
+    assert abs(float(st.rmse) - 0.173) < 2e-3
