@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""Benchmark: full KITTI seq-04 fusion on the available accelerator.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+
+Timed section: the complete jitted device pipeline on the shipped seq-04
+fixture (temporal alignment incl. spline solve, Sim3 window, 1000-trial
+RANSAC + Umeyama, trajectory transform, EKF forward scan, RTS backward scan)
+— the reference's steps 2-5, which its own measurements put at 260-450 ms
+end-to-end on CPU (BASELINE.md; we take the BEST reference case, 260 ms, as
+the baseline so vs_baseline is a conservative speedup ratio).
+
+On TPU the run uses float32 in a local ENU frame (small coordinates — f32-
+safe by design; UTM's ~5e6 m northings would eat f32 precision), and
+cross-checks the fused trajectory against the CPU float64 result.
+"""
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_E2E_MS = 260.0  # reference best-case end-to-end (BASELINE.md)
+N_TIMING_RUNS = 30
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from gps_optimize_slam_tpu import pipeline
+    from gps_optimize_slam_tpu.config import FusionConfig
+    from gps_optimize_slam_tpu.models import fusion
+    from gps_optimize_slam_tpu.io import tum as tum_io
+
+    platform = jax.devices()[0].platform
+    dtype = jnp.float32 if platform != "cpu" else jnp.float64
+
+    cfg = FusionConfig()
+    slam = tum_io.read_tum("/root/reference/yolotum04.txt")
+    gps = pipeline.load_and_project_gps(
+        "/root/reference/combined_output.txt",
+        cfg.gps_filtering_ransac,
+        frame="enu",
+        dtype=dtype,
+    )
+
+    args = (
+        jnp.asarray(slam["timestamps"], dtype),
+        jnp.asarray(slam["positions"], dtype),
+        jnp.asarray(slam["quaternions"], dtype),
+        jnp.asarray(gps.timestamps, dtype),
+        jnp.asarray(gps.positions, dtype),
+        jnp.asarray(gps.valid),
+        jax.random.PRNGKey(0),
+    )
+
+    def run():
+        out = fusion.fuse_core(*args, config=cfg)
+        jax.block_until_ready(out.corrected_pos)
+        return out
+
+    out = run()  # compile + warm
+    times = []
+    for _ in range(N_TIMING_RUNS):
+        t0 = time.perf_counter()
+        run()
+        times.append((time.perf_counter() - t0) * 1e3)
+    wall_ms = float(np.median(times))
+    n_poses = len(slam["timestamps"])
+
+    # Accuracy cross-check vs CPU float64 (golden-verified path).
+    extras = {}
+    try:
+        cpu = jax.devices("cpu")[0]
+        args64 = tuple(
+            jax.device_put(
+                np.asarray(a, np.float64) if np.asarray(a).dtype.kind == "f" else np.asarray(a),
+                cpu,
+            )
+            for a in args[:-1]
+        ) + (jax.device_put(np.asarray(args[-1]), cpu),)
+        with jax.default_device(cpu):
+            ref = fusion.fuse_core(*args64, config=cfg)
+        dev = float(
+            jnp.max(
+                jnp.linalg.norm(
+                    np.asarray(out.corrected_pos, np.float64)
+                    - np.asarray(ref.corrected_pos),
+                    axis=-1,
+                )
+            )
+        )
+        extras["max_dev_vs_f64_m"] = round(dev, 6)
+    except Exception as e:  # cross-check is best-effort
+        extras["max_dev_vs_f64_m"] = f"unavailable: {type(e).__name__}"
+
+    result = {
+        "metric": "kitti04_full_fusion_wall_clock",
+        "value": round(wall_ms, 3),
+        "unit": "ms",
+        "vs_baseline": round(BASELINE_E2E_MS / wall_ms, 2),
+        "platform": platform,
+        "dtype": str(np.dtype(dtype if dtype != jnp.float64 else np.float64)),
+        "poses_per_sec": round(n_poses / (wall_ms / 1e3), 1),
+        "baseline_ms": BASELINE_E2E_MS,
+        "sim3_scale": round(float(out.sim3.scale), 6),
+        **extras,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from gps_optimize_slam_tpu.config import FusionConfig
+from gps_optimize_slam_tpu.utils.precision import highp
 from gps_optimize_slam_tpu.ops import alignment, kalman, metrics, ransac, se3
 from gps_optimize_slam_tpu.ops.umeyama import Sim3
 
@@ -41,6 +42,7 @@ class FusionOutputs(NamedTuple):
 
 
 @partial(jax.jit, static_argnames=("config",))
+@highp
 def fuse_core(
     slam_times: jnp.ndarray,
     slam_pos: jnp.ndarray,
@@ -50,9 +52,16 @@ def fuse_core(
     gps_valid: jnp.ndarray,
     key: jax.Array,
     config: FusionConfig = FusionConfig(),
+    slam_mask: Optional[jnp.ndarray] = None,
 ) -> FusionOutputs:
     """Full fusion of one sequence. All inputs fixed-shape; invalid GPS
-    samples are masked via ``gps_valid`` (output of the outlier gate)."""
+    samples are masked via ``gps_valid`` (output of the outlier gate).
+
+    ``slam_mask`` marks real (unpadded) SLAM poses when sequences are padded
+    for batching: padded timestamps can land inside the GPS span and would
+    otherwise be treated as measured — they are forced GPS-invalid so they
+    never enter the Sim3 window or the filter update (the padded tail
+    dead-reckons as a trailing outage, leaving real outputs untouched)."""
     aligned = alignment.align_gps_to_slam(
         slam_times,
         gps_times,
@@ -60,6 +69,11 @@ def fuse_core(
         gps_valid=gps_valid,
         cfg=config.time_alignment,
     )
+    if slam_mask is not None:
+        aligned = alignment.AlignedGPS(
+            aligned=jnp.where(slam_mask[:, None], aligned.aligned, jnp.nan),
+            valid=aligned.valid & slam_mask,
+        )
 
     window = alignment.sim3_window_mask(
         slam_times,
@@ -115,6 +129,7 @@ class Evaluation(NamedTuple):
 
 
 @jax.jit
+@highp
 def evaluate(
     slam_times: jnp.ndarray,
     slam_pos: jnp.ndarray,

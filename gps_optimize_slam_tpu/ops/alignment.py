@@ -38,6 +38,7 @@ import jax
 import jax.numpy as jnp
 
 from gps_optimize_slam_tpu.config import TimeAlignConfig
+from gps_optimize_slam_tpu.utils.precision import highp
 
 _INF = jnp.inf
 
@@ -225,6 +226,7 @@ def _notaknot_moments(
     return jnp.linalg.solve(A, rhs)
 
 
+@highp
 def align_gps_to_slam(
     slam_times: jnp.ndarray,
     gps_times: jnp.ndarray,

@@ -33,6 +33,7 @@ import jax
 import jax.numpy as jnp
 
 from gps_optimize_slam_tpu.config import EKFConfig, RTSDecisionConfig
+from gps_optimize_slam_tpu.utils.precision import highp
 from gps_optimize_slam_tpu.ops import quaternion as quat
 from gps_optimize_slam_tpu.ops import se3
 
@@ -66,6 +67,7 @@ def _sym(M: jnp.ndarray) -> jnp.ndarray:
     return (M + jnp.swapaxes(M, -1, -2)) / 2.0
 
 
+@highp
 def precompute_controls(
     slam_times: jnp.ndarray,
     slam_quats: jnp.ndarray,
@@ -169,6 +171,7 @@ class EKFHistory(NamedTuple):
     pred_cov: jnp.ndarray  # (N,7,7)
 
 
+@highp
 def ekf_forward(
     slam_times: jnp.ndarray,
     slam_pos: jnp.ndarray,
@@ -273,6 +276,7 @@ def ekf_forward(
     )
 
 
+@highp
 def rts_backward(history: EKFHistory, controls: FusionControls) -> jnp.ndarray:
     """Apply every outage-segment RTS smoothing in ONE reverse `lax.scan`.
 

@@ -17,6 +17,7 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import jax.numpy as jnp
+from gps_optimize_slam_tpu.utils.precision import highp
 
 
 class ErrorStats(NamedTuple):
@@ -33,6 +34,7 @@ def eval_mask(slam_times: jnp.ndarray, valid: jnp.ndarray, skip_seconds: float =
     return valid & (slam_times > slam_times[0] + skip_seconds)
 
 
+@highp
 def nn_errors(
     traj: jnp.ndarray,
     candidates: jnp.ndarray,

@@ -34,6 +34,7 @@ import jax
 import jax.numpy as jnp
 
 from gps_optimize_slam_tpu.config import GPSFilterConfig, Sim3RansacConfig
+from gps_optimize_slam_tpu.utils.precision import highp
 from gps_optimize_slam_tpu.ops.umeyama import Sim3, sim3_residuals, umeyama_sim3
 
 
@@ -44,6 +45,7 @@ class Sim3RansacResult(NamedTuple):
     ok: jnp.ndarray  # () bool — enough inliers found
 
 
+@highp
 def sim3_ransac(
     key: jax.Array,
     src: jnp.ndarray,
@@ -130,6 +132,7 @@ def _poly_design(t: jnp.ndarray, degree: int) -> jnp.ndarray:
     return jnp.stack([t**d for d in range(degree + 1)], axis=-1)
 
 
+@highp
 def gps_poly_ransac_mask(
     key: jax.Array,
     times: jnp.ndarray,

@@ -19,6 +19,9 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
+from gps_optimize_slam_tpu.ops.linalg3 import svd3x3
+from gps_optimize_slam_tpu.utils.precision import highp
+
 
 class Sim3(NamedTuple):
     """A similarity transform dst ≈ s·R·src + t, plus a validity flag."""
@@ -29,6 +32,7 @@ class Sim3(NamedTuple):
     ok: jnp.ndarray  # () bool
 
 
+@highp
 def umeyama_sim3(
     src: jnp.ndarray,
     dst: jnp.ndarray,
@@ -57,7 +61,10 @@ def umeyama_sim3(
 
     # H = Σ w · src_cᵀ dst_c  (3×3) — one small matmul.
     H = (w[:, None] * src_c).T @ dst_c
-    U, S, Vt = jnp.linalg.svd(H)
+    # Framework-owned one-sided-Jacobi SVD: float32-robust on TPU where
+    # XLA's general SVD loses precision on ill-conditioned 3×3 inputs
+    # (see ops/linalg3.py), and far cheaper when vmapped over RANSAC trials.
+    U, S, Vt = svd3x3(H)
     R = Vt.T @ U.T
     det = jnp.linalg.det(R)
     # Reflection fix: flip the last row of Vt when det < 0
@@ -77,6 +84,7 @@ def umeyama_sim3(
     return Sim3(R=R, t=t, scale=scale, ok=ok)
 
 
+@highp
 def sim3_residuals(src: jnp.ndarray, dst: jnp.ndarray, sim3: Sim3) -> jnp.ndarray:
     """Per-point ‖s·src·Rᵀ + t − dst‖ (reference: EKFGPSSLAM.py:409-410)."""
     pred = sim3.scale * (src @ sim3.R.T) + sim3.t

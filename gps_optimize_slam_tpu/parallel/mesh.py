@@ -1,0 +1,90 @@
+"""Device-mesh scale-out for batched fusion.
+
+Multi-chip story (replacing "none" in the reference, SURVEY §2.4): the
+sequence batch is data-parallel — shard the batch axis of every input over a
+1-D `jax.sharding.Mesh` ("seq" axis) and jit the vmapped fusion with those
+shardings; XLA partitions the whole program with zero communication in the
+hot path (each sequence's scan stays on one chip) and inserts ICI/DCN
+collectives only for the scalar evaluation reductions, exactly where they
+belong. Works identically on N real TPU chips or a
+`--xla_force_host_platform_device_count` virtual CPU mesh.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from gps_optimize_slam_tpu.config import FusionConfig
+from gps_optimize_slam_tpu.models import fusion
+from gps_optimize_slam_tpu.parallel.batch import SequenceBatch
+
+SEQ_AXIS = "seq"
+
+
+def make_mesh(devices: Optional[Sequence] = None, n_devices: Optional[int] = None) -> Mesh:
+    """1-D mesh over the sequence (data) axis."""
+    if devices is None:
+        devices = jax.devices()
+        if n_devices is not None:
+            if len(devices) < n_devices:
+                # Fall back to the virtual CPU platform when asked for more
+                # chips than the accelerator platform exposes.
+                devices = jax.devices("cpu")
+            devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), axis_names=(SEQ_AXIS,))
+
+
+def fuse_batch(
+    batch: SequenceBatch,
+    keys: jax.Array,
+    config: FusionConfig = FusionConfig(),
+    mesh: Optional[Mesh] = None,
+    dtype=None,
+):
+    """Fuse a padded batch of sequences; one `vmap`ped device program.
+
+    With ``mesh`` given, inputs/outputs are sharded over the batch axis —
+    each device fuses its shard of sequences independently.
+    Batch size must be divisible by the mesh size.
+    """
+    dtype = dtype or jnp.result_type(batch.slam_pos.dtype, jnp.float32)
+
+    args = (
+        jnp.asarray(batch.slam_times, dtype),
+        jnp.asarray(batch.slam_pos, dtype),
+        jnp.asarray(batch.slam_quat, dtype),
+        jnp.asarray(batch.gps_times, dtype),
+        jnp.asarray(batch.gps_pos, dtype),
+        jnp.asarray(batch.gps_valid),
+        keys,
+        jnp.asarray(batch.slam_mask),
+    )
+
+    def one(st, sp, sq, gt, gp, gv, k, sm):
+        return fusion.fuse_core(st, sp, sq, gt, gp, gv, k, config=config, slam_mask=sm)
+
+    fused = jax.vmap(one)
+    if mesh is None:
+        return jax.jit(fused)(*args)
+
+    shard = NamedSharding(mesh, P(SEQ_AXIS))
+    args = tuple(jax.device_put(a, shard) for a in args)
+    fn = jax.jit(fused, in_shardings=(shard,) * len(args), out_shardings=shard)
+    return fn(*args)
+
+
+def evaluate_batch(batch: SequenceBatch, outputs, skip_seconds: float = 5.0):
+    """Vmapped evaluation over the batch (masked to real poses)."""
+    ev = jax.vmap(partial(fusion.evaluate, skip_seconds=skip_seconds))
+    return jax.jit(ev)(
+        jnp.asarray(batch.slam_times, outputs.corrected_pos.dtype),
+        jnp.asarray(batch.slam_pos, outputs.corrected_pos.dtype),
+        outputs,
+    )
