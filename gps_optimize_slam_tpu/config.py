@@ -84,6 +84,12 @@ class FusionConfig:
         enabled=False, residual_threshold_meters=5.0
     )
     rts_decision: RTSDecisionConfig = RTSDecisionConfig()
+    # EKF scan strategy (framework extension, not in the reference CONFIG):
+    # "sequential" — O(N)-depth lax.scan, bit-faithful to the reference;
+    # "parallel"   — O(log N)-depth associative scans (requires hard updates,
+    #                i.e. default_ekf_transition_steps_on_sharp_turn == 0);
+    # "auto"       — parallel whenever the config permits it (default).
+    ekf_scan: str = "auto"
 
     def replace(self, **kwargs) -> "FusionConfig":
         return dataclasses.replace(self, **kwargs)

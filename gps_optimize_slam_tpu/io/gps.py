@@ -22,13 +22,16 @@ def read_gps_fixes(path: str, lon_first: bool = False) -> Dict[str, np.ndarray]:
     Returns {'timestamps', 'lats', 'lons', 'alts', 'valid'} — ``valid``
     flags rows passing |lat|≤90, |lon|≤180, lat≠0, lon≠0.
     """
+    from gps_optimize_slam_tpu.io.native import loadtxt
+
     try:
-        try:
-            data = np.loadtxt(path, delimiter=" ")
-        except ValueError:
-            data = np.loadtxt(path, delimiter=",")
-    except FileNotFoundError:
-        raise ValueError(f"GPS file not found: {path}")
+        # The native parser accepts both space- and comma-delimited tables
+        # (the reference's two-delimiter fallback, EKFGPSSLAM.py:252-253).
+        data = loadtxt(path)
+    except (FileNotFoundError, ValueError) as e:
+        if isinstance(e, FileNotFoundError) or "cannot open" in str(e):
+            raise ValueError(f"GPS file not found: {path}")
+        raise
     if data.ndim == 1:
         data = data.reshape(1, -1)
     if data.shape[1] < 4:

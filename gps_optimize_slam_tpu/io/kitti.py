@@ -13,7 +13,9 @@ import numpy as np
 
 def read_kitti_poses(path: str) -> np.ndarray:
     """Load a KITTI pose file → (N, 3, 4) [R|t] matrices."""
-    data = np.loadtxt(path)
+    from gps_optimize_slam_tpu.io.native import loadtxt
+
+    data = loadtxt(path)
     if data.ndim == 1:
         data = data.reshape(1, -1)
     if data.shape[1] != 12:
@@ -49,8 +51,10 @@ def kitti_to_trajectory(poses_path: str, timestamps_path: str) -> Dict[str, np.n
 
     Equivalent of kitti_poses_and_timestamps_to_trajectory
     (reference: kitti2tum.py:11-21)."""
+    from gps_optimize_slam_tpu.io.native import loadtxt
+
     poses = read_kitti_poses(poses_path)
-    ts = np.loadtxt(timestamps_path)
+    ts = loadtxt(timestamps_path)
     if ts.ndim != 1:
         ts = ts.reshape(-1)
     if len(ts) != len(poses):

@@ -15,10 +15,14 @@ def read_tum(path: str) -> Dict[str, np.ndarray]:
 
     Returns {'timestamps': (N,), 'positions': (N,3), 'quaternions': (N,4)}.
     """
+    from gps_optimize_slam_tpu.io.native import loadtxt
+
     try:
-        data = np.loadtxt(path)
-    except FileNotFoundError:
-        raise ValueError(f"SLAM trajectory file not found: {path}")
+        data = loadtxt(path)
+    except (FileNotFoundError, ValueError) as e:
+        if isinstance(e, FileNotFoundError) or "cannot open" in str(e):
+            raise ValueError(f"SLAM trajectory file not found: {path}")
+        raise
     if data.ndim == 1:
         data = data.reshape(1, -1)
     if data.shape[1] != 8:
@@ -41,15 +45,17 @@ def write_tum(
     header: str = "timestamp x y z qx qy qz qw",
     position_fmt: str = "%.6f",
 ) -> None:
-    """Write a TUM trajectory (same formats as the reference exporter:
-    EKFGPSSLAM.py:1092)."""
+    """Write a TUM trajectory (same numeric formats as the reference
+    exporter, EKFGPSSLAM.py:1092). Unlike the reference — which writes a BARE
+    header line its own loader cannot re-read — the header is '#'-prefixed
+    (standard TUM convention), so exports round-trip through read_tum."""
     out = np.column_stack([timestamps, positions, quaternions])
     np.savetxt(
         path,
         out,
         fmt=["%.6f"] + [position_fmt] * 3 + ["%.8f"] * 4,
         header=header,
-        comments="",
+        comments="# ",
     )
 
 
@@ -67,5 +73,5 @@ def write_wgs84(
         out,
         fmt=["%.6f", "%.8f", "%.8f", "%.3f"] + ["%.8f"] * 4,
         header="timestamp lon lat alt qx qy qz qw (WGS84)",
-        comments="",
+        comments="# ",
     )

@@ -23,7 +23,14 @@ import jax.numpy as jnp
 
 from gps_optimize_slam_tpu.config import FusionConfig
 from gps_optimize_slam_tpu.utils.precision import highp
-from gps_optimize_slam_tpu.ops import alignment, kalman, metrics, ransac, se3
+from gps_optimize_slam_tpu.ops import (
+    alignment,
+    kalman,
+    kalman_parallel,
+    metrics,
+    ransac,
+    se3,
+)
 from gps_optimize_slam_tpu.ops.umeyama import Sim3
 
 
@@ -95,7 +102,12 @@ def fuse_core(
         slam_pos, slam_quat, sim3_res.sim3.R, sim3_res.sim3.t, sim3_res.sim3.scale
     )
 
-    corrected_pos, corrected_quat = kalman.fuse_ekf_rts(
+    use_parallel = config.ekf_scan == "parallel" or (
+        config.ekf_scan == "auto"
+        and config.rts_decision.default_ekf_transition_steps_on_sharp_turn == 0
+    )
+    fuse_fn = kalman_parallel.fuse_ekf_rts_parallel if use_parallel else kalman.fuse_ekf_rts
+    corrected_pos, corrected_quat = fuse_fn(
         slam_times,
         slam_pos,
         slam_quat,
@@ -103,8 +115,8 @@ def fuse_core(
         sim3_quat,
         aligned.aligned,
         aligned.valid,
-        ekf_cfg=config.ekf,
-        rts_cfg=config.rts_decision,
+        config.ekf,
+        config.rts_decision,
     )
 
     return FusionOutputs(

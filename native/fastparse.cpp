@@ -1,0 +1,130 @@
+// Fast numeric-table parser for trajectory/GNSS text files.
+//
+// The host-side runtime equivalent of the reference's np.loadtxt usage
+// (TUM trajectories, KITTI pose files, oxts GNSS rows, GPS fix files):
+// memory-maps the file and parses whitespace/comma-separated floating-point
+// tables in one pass with strtod, ~10-30x faster than np.loadtxt on large
+// trajectory logs. '#'-prefixed comment lines are skipped (TUM convention).
+//
+// C ABI, consumed from Python via ctypes (gps_optimize_slam_tpu.io.native).
+//
+// Build: make -C native  (g++ -O3 -shared -fPIC)
+
+#include <cctype>
+#include <charconv>
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
+
+namespace {
+// from_chars is locale-free and ~4x faster than strtod (GCC >= 11 supports
+// the floating-point overload). Handles the scientific notation our file
+// formats use; strtod remains as a compile-time fallback.
+inline const char* parse_double(const char* p, const char* end, double* out,
+                                bool* ok) {
+#if defined(__cpp_lib_to_chars) && __cpp_lib_to_chars >= 201611L
+  auto res = std::from_chars(p, end, *out);
+  *ok = (res.ec == std::errc());
+  return res.ptr;
+#else
+  char* next = nullptr;
+  *out = strtod(p, &next);
+  *ok = (next != p);
+  (void)end;
+  return next;
+#endif
+}
+}  // namespace
+
+extern "C" {
+
+// Returns 0 on success. First call with values=nullptr to obtain the shape
+// (n_rows, n_cols); then call again with a buffer of size n_rows*n_cols.
+// n_cols is taken from the first data row; short rows are an error (-3),
+// extra columns beyond n_cols are an error (-4). Comma is treated as
+// whitespace (the reference's delimiter fallback, EKFGPSSLAM.py:252-253).
+int fastparse_table(const char* path, double* values, int64_t* n_rows,
+                    int64_t* n_cols) {
+  int fd = open(path, O_RDONLY);
+  if (fd < 0) return -1;
+  struct stat st;
+  if (fstat(fd, &st) != 0) {
+    close(fd);
+    return -1;
+  }
+  size_t size = static_cast<size_t>(st.st_size);
+  if (size == 0) {
+    close(fd);
+    *n_rows = 0;
+    *n_cols = 0;
+    return 0;
+  }
+  const char* data =
+      static_cast<const char*>(mmap(nullptr, size, PROT_READ, MAP_PRIVATE, fd, 0));
+  close(fd);
+  if (data == MAP_FAILED) return -2;
+
+  const char* p = data;
+  const char* end = data + size;
+  int64_t rows = 0;
+  int64_t cols = *n_cols;  // 0 = infer from first row
+  bool counting = (values == nullptr);
+  int rc = 0;
+
+  while (p < end) {
+    // Skip leading spaces/commas on the line.
+    while (p < end && (*p == ' ' || *p == '\t' || *p == ',' || *p == '\r')) ++p;
+    if (p < end && *p == '\n') {
+      ++p;
+      continue;
+    }
+    if (p >= end) break;
+    if (*p == '#') {  // comment line
+      while (p < end && *p != '\n') ++p;
+      continue;
+    }
+    // Parse one row.
+    int64_t c = 0;
+    while (p < end && *p != '\n') {
+      double v;
+      bool ok;
+      const char* next = parse_double(p, end, &v, &ok);
+      if (!ok) {  // unparsable token
+        rc = -5;
+        goto done;
+      }
+      if (!counting) {
+        if (c < cols) values[rows * cols + c] = v;
+        else {
+          rc = -4;
+          goto done;
+        }
+      }
+      ++c;
+      p = next;
+      while (p < end && (*p == ' ' || *p == '\t' || *p == ',' || *p == '\r')) ++p;
+    }
+    if (cols == 0) cols = c;
+    if (c != cols) {
+      rc = (c < cols) ? -3 : -4;
+      goto done;
+    }
+    ++rows;
+    if (p < end) ++p;  // consume newline
+  }
+
+done:
+  munmap(const_cast<char*>(data), size);
+  if (rc == 0) {
+    *n_rows = rows;
+    *n_cols = cols;
+  }
+  return rc;
+}
+
+}  // extern "C"
