@@ -102,9 +102,14 @@ def fuse_core(
         slam_pos, slam_quat, sim3_res.sim3.R, sim3_res.sim3.t, sim3_res.sim3.scale
     )
 
+    # "auto": the O(log N) associative path on accelerators (where scan
+    # latency dominates), the O(N) sequential path on CPU (where it is
+    # faster to compile and fast enough to run — and bit-faithful to the
+    # reference). Decided at trace time; both require/force hard updates.
     use_parallel = config.ekf_scan == "parallel" or (
         config.ekf_scan == "auto"
         and config.rts_decision.default_ekf_transition_steps_on_sharp_turn == 0
+        and jax.default_backend() != "cpu"
     )
     fuse_fn = kalman_parallel.fuse_ekf_rts_parallel if use_parallel else kalman.fuse_ekf_rts
     corrected_pos, corrected_quat = fuse_fn(

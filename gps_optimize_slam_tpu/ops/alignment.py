@@ -226,6 +226,91 @@ def _notaknot_moments(
     return jnp.linalg.solve(A, rhs)
 
 
+def _notaknot_moments_tridiag(
+    t: jnp.ndarray,
+    y: jnp.ndarray,
+    seg_id: jnp.ndarray,
+    is_real: jnp.ndarray,
+    seg_start_idx: jnp.ndarray,
+    seg_end_idx: jnp.ndarray,
+    seg_len: jnp.ndarray,
+    seg_ok: jnp.ndarray,
+) -> jnp.ndarray:
+    """Same moments as ``_notaknot_moments`` via a tridiagonal solve.
+
+    The not-a-knot corner equations couple three unknowns and break the
+    tridiagonal band; eliminating M_s (segment start) and M_e (segment end)
+    algebraically into the adjacent interior equations restores a pure
+    tridiagonal system over interior nodes, solved with the O(log m)-depth
+    associative-scan Thomas solver (ops.tridiag) instead of an O(m³) dense
+    factorisation — the path that scales to 10⁴-10⁵ GPS samples. Corner
+    moments are recovered in closed form afterwards.
+    """
+    from gps_optimize_slam_tpu.ops.tridiag import tridiag_solve
+
+    m = t.shape[0]
+    idx = jnp.arange(m)
+    dt = jnp.diff(t)
+    one = jnp.ones((1,), t.dtype)
+    h = jnp.concatenate([dt, one])  # h[j] = t[j+1]-t[j]
+    hm1 = jnp.concatenate([one, dt])  # h[j-1]
+    h_s = jnp.where(jnp.isfinite(h) & (h > 0), h, 1.0)
+    hm1_s = jnp.where(jnp.isfinite(hm1) & (hm1 > 0), hm1, 1.0)
+
+    cubic_here = seg_ok[seg_id] & (seg_len[seg_id] >= 4) & is_real
+    first_int = cubic_here & (idx == seg_start_idx[seg_id] + 1)
+    last_int = cubic_here & (idx == seg_end_idx[seg_id] - 1)
+    # With len==4 a row can be first AND last interior simultaneously? No:
+    # first = s+1, last = e-1 = s+2 — distinct. Plain interior otherwise.
+    plain = (
+        cubic_here
+        & (idx > seg_start_idx[seg_id] + 1)
+        & (idx < seg_end_idx[seg_id] - 1)
+    )
+
+    # Divided-difference RHS r_j.
+    y_s = jnp.where(jnp.isfinite(y), y, 0.0)
+    slope = jnp.diff(y_s, axis=0) / dt[:, None]
+    slope = jnp.where(jnp.isfinite(slope), slope, 0.0)
+    slope_j = jnp.concatenate([slope, jnp.zeros((1, y.shape[1]), y.dtype)])
+    slope_jm1 = jnp.concatenate([jnp.zeros((1, y.shape[1]), y.dtype), slope])
+    r = slope_j - slope_jm1
+
+    interiorish = first_int | last_int | plain
+    # Row coefficients (a: M_{j-1}, b: M_j, c: M_{j+1}).
+    a = jnp.where(plain | last_int, hm1_s / 6.0, 0.0)
+    a = a - jnp.where(last_int, h_s**2 / (6.0 * hm1_s), 0.0)
+    b = jnp.where(interiorish, (hm1_s + h_s) / 3.0, 1.0)
+    b = b + jnp.where(first_int, hm1_s * (hm1_s + h_s) / (6.0 * h_s), 0.0)
+    b = b + jnp.where(last_int, h_s * (hm1_s + h_s) / (6.0 * hm1_s), 0.0)
+    c = jnp.where(plain | first_int, h_s / 6.0, 0.0)
+    c = c - jnp.where(first_int, hm1_s**2 / (6.0 * h_s), 0.0)
+    d = jnp.where(interiorish[:, None], r, 0.0)
+
+    M = tridiag_solve(a, b, c, d)
+    M = jnp.where(interiorish[:, None], M, 0.0)
+
+    # Recover corner moments:
+    # M_s = [M_{s+1}(h_s+h_{s+1}) − M_{s+2}·h_s] / h_{s+1}
+    # M_e = [M_{e-1}(h_{e-2}+h_{e-1}) − M_{e-2}·h_{e-1}] / h_{e-2}
+    at_start = cubic_here & (idx == seg_start_idx[seg_id])
+    at_end = cubic_here & (idx == seg_end_idx[seg_id])
+    j1 = jnp.clip(idx + 1, 0, m - 1)
+    j2 = jnp.clip(idx + 2, 0, m - 1)
+    h0 = h_s
+    h1 = jnp.where(jnp.isfinite(h[j1]) & (h[j1] > 0), h[j1], 1.0)
+    m_start = (M[j1] * (h0 + h1)[:, None] - M[j2] * h0[:, None]) / h1[:, None]
+    k1 = jnp.clip(idx - 1, 0, m - 1)
+    k2 = jnp.clip(idx - 2, 0, m - 1)
+    he1 = hm1_s  # h_{e-1}
+    he2 = jnp.where(jnp.isfinite(hm1[k1]) & (hm1[k1] > 0), hm1[k1], 1.0)  # h_{e-2}
+    m_end = (M[k1] * (he2 + he1)[:, None] - M[k2] * he1[:, None]) / he2[:, None]
+
+    M = jnp.where(at_start[:, None], m_start, M)
+    M = jnp.where(at_end[:, None], m_end, M)
+    return M
+
+
 @highp
 def align_gps_to_slam(
     slam_times: jnp.ndarray,
@@ -234,6 +319,7 @@ def align_gps_to_slam(
     gps_valid: Optional[jnp.ndarray] = None,
     time_offset=0.0,
     cfg: TimeAlignConfig = TimeAlignConfig(),
+    spline_solver: str = "auto",
 ) -> AlignedGPS:
     """Interpolate GPS positions onto SLAM timestamps, honouring gaps.
 
@@ -242,6 +328,10 @@ def align_gps_to_slam(
     > cfg.max_gps_gap_threshold; cubic (not-a-knot) for segments of ≥4
     points, linear for 2-3; timestamps outside every segment's span are
     invalid.
+
+    ``spline_solver``: "dense" (one block-diagonal O(m³) solve),
+    "tridiagonal" (corner-eliminated O(log m)-depth associative Thomas —
+    the scalable path), or "auto" (tridiagonal for ≥256 GPS samples).
     """
     dtype = jnp.result_type(slam_times.dtype, gps_times.dtype, jnp.float32)
     slam_times = slam_times.astype(dtype)
@@ -262,7 +352,14 @@ def align_gps_to_slam(
         seg_ok,
     ) = _segment_structure(t, n_eff, cfg.max_gps_gap_threshold)
 
-    moments = _notaknot_moments(
+    if spline_solver == "auto":
+        spline_solver = "tridiagonal" if gps_times.shape[0] >= 256 else "dense"
+    moments_fn = (
+        _notaknot_moments_tridiag
+        if spline_solver == "tridiagonal"
+        else _notaknot_moments
+    )
+    moments = moments_fn(
         t, p, seg_id, is_real, seg_start_idx, seg_end_idx, seg_len, seg_ok
     )
 

@@ -26,6 +26,39 @@ from gps_optimize_slam_tpu.utils.precision import highp
 _JACOBI_SWEEPS = 12  # 3×3 converges in ~4 sweeps; extras are nearly free
 
 
+def inv3x3(M: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form (adjugate/cofactor) inverse of 3×3 matrices, batched.
+
+    XLA lowers ``jnp.linalg.inv`` on (B,3,3) to a generic batched LU — slow
+    on TPU for millions of tiny matrices (the associative Kalman combine
+    inverts one per element per scan level). The adjugate form is ~20
+    fused elementwise ops on the VPU.
+    """
+    m00, m01, m02 = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
+    m10, m11, m12 = M[..., 1, 0], M[..., 1, 1], M[..., 1, 2]
+    m20, m21, m22 = M[..., 2, 0], M[..., 2, 1], M[..., 2, 2]
+    c00 = m11 * m22 - m12 * m21
+    c01 = m02 * m21 - m01 * m22
+    c02 = m01 * m12 - m02 * m11
+    c10 = m12 * m20 - m10 * m22
+    c11 = m00 * m22 - m02 * m20
+    c12 = m02 * m10 - m00 * m12
+    c20 = m10 * m21 - m11 * m20
+    c21 = m01 * m20 - m00 * m21
+    c22 = m00 * m11 - m01 * m10
+    det = m00 * c00 + m01 * c10 + m02 * c20
+    inv_det = 1.0 / det
+    adj = jnp.stack(
+        [
+            jnp.stack([c00, c01, c02], axis=-1),
+            jnp.stack([c10, c11, c12], axis=-1),
+            jnp.stack([c20, c21, c22], axis=-1),
+        ],
+        axis=-2,
+    )
+    return adj * inv_det[..., None, None]
+
+
 def _rotation(alpha, beta, gamma, eps):
     """Branch-free (c, s) that orthogonalises a column pair with
     ⟨a_p,a_p⟩=α, ⟨a_q,a_q⟩=β, ⟨a_p,a_q⟩=γ; identity when |γ| ~ 0."""

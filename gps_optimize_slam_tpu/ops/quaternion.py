@@ -169,3 +169,38 @@ def yaw(q: jnp.ndarray) -> jnp.ndarray:
 def wrap_angle(a: jnp.ndarray) -> jnp.ndarray:
     """Wrap angle(s) to (-pi, pi] via atan2 (reference: EKFGPSSLAM.py:822)."""
     return jnp.arctan2(jnp.sin(a), jnp.cos(a))
+
+
+def exp_map(omega: jnp.ndarray) -> jnp.ndarray:
+    """SO(3) exponential: rotation vector (axis·angle, rad) → unit quaternion.
+
+    Taylor-guarded near zero INCLUDING gradients (the "double-where" trick:
+    the sqrt never sees 0, so jvp/vjp at ω = 0 stay finite — required by the
+    pose-graph Gauss-Newton retraction, which differentiates through this at
+    exactly ω = 0)."""
+    theta2 = jnp.sum(omega * omega, axis=-1, keepdims=True)
+    small = theta2 < 1e-12
+    theta = jnp.sqrt(jnp.where(small, 1.0, theta2))
+    # sin(θ/2)/θ with series 1/2 − θ²/48; cos(θ/2) with series 1 − θ²/8.
+    k = jnp.where(small, 0.5 - theta2 / 48.0, jnp.sin(theta / 2.0) / theta)
+    w = jnp.where(small, 1.0 - theta2 / 8.0, jnp.cos(theta / 2.0))
+    return jnp.concatenate([omega * k, w], axis=-1)
+
+
+def log_map(q: jnp.ndarray) -> jnp.ndarray:
+    """SO(3) logarithm: unit quaternion → rotation vector (rad).
+
+    Hemisphere-canonicalised (w ≥ 0) so the result is the minimal rotation;
+    Taylor/double-where guarded near identity so gradients stay finite at
+    the zero rotation."""
+    q = q * jnp.where(q[..., 3:4] < 0, -1.0, 1.0)
+    v = q[..., :3]
+    w = jnp.clip(q[..., 3:4], -1.0, 1.0)
+    vn2 = jnp.sum(v * v, axis=-1, keepdims=True)
+    small = vn2 < 1e-18
+    vn = jnp.sqrt(jnp.where(small, 1.0, vn2))
+    theta = 2.0 * jnp.arctan2(vn, w)
+    # Near identity w ≈ 1: log(q) ≈ 2v/w (relative error O(vn²)).
+    w_safe = jnp.where(w > 0.5, w, 1.0)
+    scale = jnp.where(small, 2.0 / w_safe, theta / vn)
+    return v * scale

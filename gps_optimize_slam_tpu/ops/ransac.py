@@ -38,6 +38,19 @@ from gps_optimize_slam_tpu.utils.precision import highp
 from gps_optimize_slam_tpu.ops.umeyama import Sim3, sim3_residuals, umeyama_sim3
 
 
+def _sample_without_replacement(key: jax.Array, valid: jnp.ndarray, k: int):
+    """Uniform k-subset of the valid indices via Gumbel top-k.
+
+    Exact sampling without replacement, but with `lax.top_k` (O(n·k)-ish)
+    instead of the full per-trial sort `jax.random.choice(replace=False)`
+    lowers to — the difference is ~5× on the vmapped thousand-trial RANSAC.
+    """
+    g = jax.random.gumbel(key, valid.shape)
+    scores = jnp.where(valid, g, -jnp.inf)
+    _, idx = jax.lax.top_k(scores, k)
+    return idx
+
+
 class Sim3RansacResult(NamedTuple):
     sim3: Sim3
     inlier_mask: jnp.ndarray  # (N,) bool — best consensus set ∩ valid
@@ -60,14 +73,8 @@ def sim3_ransac(
     n_valid = jnp.sum(valid)
     enough = n_valid >= cfg.min_samples
 
-    p_raw = valid.astype(src.dtype)
-    p = p_raw / jnp.maximum(jnp.sum(p_raw), 1.0)
-    # Degenerate guard: uniform probabilities if nothing is valid (result is
-    # discarded via `enough`).
-    p = jnp.where(n_valid > 0, p, jnp.ones((n,), src.dtype) / n)
-
     def trial(k):
-        idx = jax.random.choice(k, n, (cfg.min_samples,), replace=False, p=p)
+        idx = _sample_without_replacement(k, valid, cfg.min_samples)
         w = jnp.zeros((n,), src.dtype).at[idx].set(1.0)
         fit = umeyama_sim3(src, dst, w)
         res = sim3_residuals(src, dst, fit)
@@ -168,13 +175,8 @@ def gps_poly_ransac_mask(
         duration = cfg.window_duration_seconds
 
     def axis_ransac(k, w_mask, y):
-        n_w = jnp.sum(w_mask)
-        p_raw = w_mask.astype(dtype)
-        p = p_raw / jnp.maximum(jnp.sum(p_raw), 1.0)
-        p = jnp.where(n_w > 0, p, jnp.ones((m,), dtype) / m)
-
         def trial(tk):
-            idx = jax.random.choice(tk, m, (cfg.min_samples,), replace=False, p=p)
+            idx = _sample_without_replacement(tk, w_mask, cfg.min_samples)
             X = _poly_design(times[idx], cfg.polynomial_degree)
             coef, _, _, _ = jnp.linalg.lstsq(X, y[idx])
             pred = _poly_design(times, cfg.polynomial_degree) @ coef

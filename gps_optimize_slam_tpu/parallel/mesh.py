@@ -41,6 +41,25 @@ def make_mesh(devices: Optional[Sequence] = None, n_devices: Optional[int] = Non
     return Mesh(np.asarray(devices), axis_names=(SEQ_AXIS,))
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=32)
+def _fused_fn(config: FusionConfig, mesh: Optional[Mesh], n_args: int):
+    """Cached jitted vmapped fusion — building a fresh jax.jit closure per
+    call would miss the jit cache and recompile every invocation (measured:
+    a 47 s "run" that was 10 recompiles)."""
+
+    def one(st, sp, sq, gt, gp, gv, k, sm):
+        return fusion.fuse_core(st, sp, sq, gt, gp, gv, k, config=config, slam_mask=sm)
+
+    fused = jax.vmap(one)
+    if mesh is None:
+        return jax.jit(fused)
+    shard = NamedSharding(mesh, P(SEQ_AXIS))
+    return jax.jit(fused, in_shardings=(shard,) * n_args, out_shardings=shard)
+
+
 def fuse_batch(
     batch: SequenceBatch,
     keys: jax.Array,
@@ -66,24 +85,21 @@ def fuse_batch(
         keys,
         jnp.asarray(batch.slam_mask),
     )
-
-    def one(st, sp, sq, gt, gp, gv, k, sm):
-        return fusion.fuse_core(st, sp, sq, gt, gp, gv, k, config=config, slam_mask=sm)
-
-    fused = jax.vmap(one)
-    if mesh is None:
-        return jax.jit(fused)(*args)
-
-    shard = NamedSharding(mesh, P(SEQ_AXIS))
-    args = tuple(jax.device_put(a, shard) for a in args)
-    fn = jax.jit(fused, in_shardings=(shard,) * len(args), out_shardings=shard)
+    fn = _fused_fn(config, mesh, len(args))
+    if mesh is not None:
+        shard = NamedSharding(mesh, P(SEQ_AXIS))
+        args = tuple(jax.device_put(a, shard) for a in args)
     return fn(*args)
+
+
+@lru_cache(maxsize=8)
+def _eval_fn(skip_seconds: float):
+    return jax.jit(jax.vmap(partial(fusion.evaluate, skip_seconds=skip_seconds)))
 
 
 def evaluate_batch(batch: SequenceBatch, outputs, skip_seconds: float = 5.0):
     """Vmapped evaluation over the batch (masked to real poses)."""
-    ev = jax.vmap(partial(fusion.evaluate, skip_seconds=skip_seconds))
-    return jax.jit(ev)(
+    return _eval_fn(skip_seconds)(
         jnp.asarray(batch.slam_times, outputs.corrected_pos.dtype),
         jnp.asarray(batch.slam_pos, outputs.corrected_pos.dtype),
         outputs,

@@ -1,0 +1,191 @@
+"""Tests for the extension models: χ²-gated robust fusion (BASELINE config 4)
+and pose-graph Gauss-Newton NLLS (config 5)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from scipy.spatial.transform import Rotation
+
+from gps_optimize_slam_tpu.config import EKFConfig, RTSDecisionConfig
+from gps_optimize_slam_tpu.models import pose_graph, robust
+from gps_optimize_slam_tpu.ops import kalman_parallel
+from gps_optimize_slam_tpu.ops import quaternion as quat
+from tests.test_kalman import make_traj
+
+
+def setup_fusion_inputs(n=150, seed=0, outliers=()):
+    t, pos, quats = make_traj(n=n, seed=seed)
+    rng = np.random.default_rng(seed + 1)
+    sim3_pos = pos.copy()
+    sim3_quat = quats.copy()
+    gps = pos + rng.normal(size=pos.shape) * 0.1
+    for i, mag in outliers:
+        gps[i] += mag
+    valid = np.ones(n, bool)
+    return t, pos, quats, sim3_pos, sim3_quat, gps, valid
+
+
+def test_chi2_gate_rejects_injected_outliers():
+    outliers = [(40, np.array([30.0, -20.0, 5.0])), (90, np.array([0.0, 50.0, 0.0]))]
+    t, pos, quats, s3p, s3q, gps, valid = setup_fusion_inputs(outliers=outliers)
+    res = robust.fuse_robust(
+        jnp.asarray(t), jnp.asarray(pos), jnp.asarray(quats),
+        jnp.asarray(s3p), jnp.asarray(s3q), jnp.asarray(gps), jnp.asarray(valid),
+    )
+    acc = np.asarray(res.accepted)
+    assert not acc[40] and not acc[90]
+    assert acc.sum() >= 140  # inliers overwhelmingly kept
+    # Fused trajectory must NOT be dragged by the outliers.
+    err = np.linalg.norm(np.asarray(res.positions) - pos, axis=1)
+    assert err.max() < 0.5, err.max()
+    # Ungated fusion IS dragged — the gate demonstrably matters.
+    up, _ = kalman_parallel.fuse_ekf_rts_parallel(
+        jnp.asarray(t), jnp.asarray(pos), jnp.asarray(quats),
+        jnp.asarray(s3p), jnp.asarray(s3q), jnp.asarray(gps), jnp.asarray(valid),
+        EKFConfig(), RTSDecisionConfig(),
+    )
+    err_ungated = np.linalg.norm(np.asarray(up) - pos, axis=1)
+    assert err_ungated.max() > 5 * err.max()
+
+
+def test_chi2_gate_clean_data_accepts_everything():
+    t, pos, quats, s3p, s3q, gps, valid = setup_fusion_inputs()
+    res = robust.fuse_robust(
+        jnp.asarray(t), jnp.asarray(pos), jnp.asarray(quats),
+        jnp.asarray(s3p), jnp.asarray(s3q), jnp.asarray(gps), jnp.asarray(valid),
+    )
+    assert np.asarray(res.accepted).all()
+    # With nothing gated, result equals the standard parallel fusion.
+    up, uq = kalman_parallel.fuse_ekf_rts_parallel(
+        jnp.asarray(t), jnp.asarray(pos), jnp.asarray(quats),
+        jnp.asarray(s3p), jnp.asarray(s3q), jnp.asarray(gps), jnp.asarray(valid),
+        EKFConfig(), RTSDecisionConfig(),
+    )
+    np.testing.assert_allclose(np.asarray(res.positions), np.asarray(up), atol=1e-10)
+
+
+def make_drifting_graph(n=60, seed=0, drift=0.02):
+    """Ground-truth loop trajectory + drifting odometry measurements."""
+    rng = np.random.default_rng(seed)
+    ang = np.linspace(0, 2 * np.pi, n)
+    gt_pos = np.stack([np.cos(ang) * 20, np.sin(ang) * 20, np.zeros(n)], -1)
+    yaw = ang + np.pi / 2
+    gt_quat = Rotation.from_euler("z", yaw[:, None]).as_quat()
+    # True relatives + drift noise.
+    from gps_optimize_slam_tpu.ops import se3
+
+    dp, dq = se3.relative_poses_along(jnp.asarray(gt_pos), jnp.asarray(gt_quat))
+    dp = np.array(dp) + rng.normal(size=(n - 1, 3)) * drift
+    dq = np.array(dq)  # writable copy (scipy rejects jax's read-only views)
+    return gt_pos, gt_quat, dp, dq
+
+
+def integrate_odometry(p0, q0, dp, dq):
+    pos = [p0]
+    qs = [q0]
+    for i in range(len(dp)):
+        r = Rotation.from_quat(qs[-1])
+        pos.append(pos[-1] + r.apply(dp[i]))
+        qs.append((r * Rotation.from_quat(dq[i])).as_quat())
+    return np.asarray(pos), np.asarray(qs)
+
+
+def test_pose_graph_gps_priors_remove_drift():
+    gt_pos, gt_quat, dp, dq = make_drifting_graph()
+    init_pos, init_quat = integrate_odometry(gt_pos[0], gt_quat[0], dp, dq)
+    drift_err = np.linalg.norm(init_pos - gt_pos, axis=1).max()
+    assert drift_err > 0.1  # odometry alone drifts
+
+    gps_valid = np.zeros(len(gt_pos), bool)
+    gps_valid[::4] = True  # sparse GPS priors
+    data = pose_graph.build_data_from_fusion(
+        jnp.asarray(init_pos) * 0 + jnp.asarray(init_pos),  # odometry source
+        jnp.asarray(init_quat),
+        jnp.asarray(gt_pos),
+        jnp.asarray(gps_valid),
+    )
+    # Use the noisy measured odometry, not relatives of the init guess.
+    data = data._replace(odo_dp=jnp.asarray(dp), odo_dq=jnp.asarray(dq))
+    res = pose_graph.solve_pose_graph(
+        pose_graph.PoseGraphState(jnp.asarray(init_pos), jnp.asarray(init_quat)),
+        data,
+        iterations=8,
+    )
+    costs = np.asarray(res.cost_history)
+    assert costs[-1] < costs[0] * 0.1
+    final_err = np.linalg.norm(np.asarray(res.state.positions) - gt_pos, axis=1)
+    assert final_err.max() < drift_err * 0.5
+    assert final_err.mean() < 0.15
+
+
+def test_pose_graph_loop_closure():
+    gt_pos, gt_quat, dp, dq = make_drifting_graph(seed=3, drift=0.05)
+    init_pos, init_quat = integrate_odometry(gt_pos[0], gt_quat[0], dp, dq)
+    n = len(gt_pos)
+    # One loop closure: last pose sees the first (true relative).
+    from gps_optimize_slam_tpu.ops import se3
+
+    ldp, ldq = se3.relative_pose(
+        jnp.asarray(gt_pos[n - 1]), jnp.asarray(gt_quat[n - 1]),
+        jnp.asarray(gt_pos[0]), jnp.asarray(gt_quat[0]),
+    )
+    gps_valid = np.zeros(n, bool)
+    gps_valid[0] = True  # anchor the gauge
+    data = pose_graph.build_data_from_fusion(
+        jnp.asarray(init_pos),
+        jnp.asarray(init_quat),
+        jnp.asarray(gt_pos),
+        jnp.asarray(gps_valid),
+        loop_ij=jnp.asarray([[n - 1, 0]], jnp.int32),
+        loop_dp=ldp[None],
+        loop_dq=ldq[None],
+        loop_valid=jnp.asarray([True]),
+    )
+    data = data._replace(odo_dp=jnp.asarray(dp), odo_dq=jnp.asarray(dq))
+    init_gap = np.linalg.norm(init_pos[-1] - gt_pos[-1])
+    res = pose_graph.solve_pose_graph(
+        pose_graph.PoseGraphState(jnp.asarray(init_pos), jnp.asarray(init_quat)),
+        data,
+        iterations=10,
+    )
+    # The loop closure must pull the trajectory ends back together.
+    final_gap = np.linalg.norm(
+        np.asarray(res.state.positions[-1]) - np.asarray(res.state.positions[0])
+        - (gt_pos[-1] - gt_pos[0])
+    )
+    assert final_gap < init_gap * 0.2
+    assert float(res.final_cost) < float(res.cost_history[0]) * 0.2
+
+
+def test_pose_graph_exact_inputs_zero_cost():
+    gt_pos, gt_quat, _, _ = make_drifting_graph(drift=0.0)
+    from gps_optimize_slam_tpu.ops import se3
+
+    dp, dq = se3.relative_poses_along(jnp.asarray(gt_pos), jnp.asarray(gt_quat))
+    data = pose_graph.build_data_from_fusion(
+        jnp.asarray(gt_pos), jnp.asarray(gt_quat),
+        jnp.asarray(gt_pos), jnp.asarray(np.ones(len(gt_pos), bool)),
+    )
+    res = pose_graph.solve_pose_graph(
+        pose_graph.PoseGraphState(jnp.asarray(gt_pos), jnp.asarray(gt_quat)),
+        data,
+        iterations=2,
+    )
+    assert float(res.final_cost) < 1e-12
+
+
+def test_quaternion_exp_log_roundtrip():
+    rng = np.random.default_rng(5)
+    w = rng.normal(size=(64, 3))
+    q = quat.exp_map(jnp.asarray(w))
+    # Compare against scipy rotvec convention.
+    q_ref = Rotation.from_rotvec(w).as_quat()
+    dots = np.abs(np.sum(np.asarray(q) * q_ref, axis=-1))
+    np.testing.assert_allclose(dots, 1.0, atol=1e-12)
+    w2 = np.asarray(quat.log_map(q))
+    # log∘exp is identity for |w| < pi.
+    small = np.linalg.norm(w, axis=1) < np.pi
+    np.testing.assert_allclose(w2[small], w[small], atol=1e-9)
+    # Near-zero and exact-zero stability.
+    z = quat.log_map(quat.exp_map(jnp.zeros((1, 3))))
+    np.testing.assert_allclose(np.asarray(z), 0.0, atol=1e-12)

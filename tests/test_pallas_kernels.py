@@ -1,0 +1,58 @@
+"""Pallas kernel tests (interpreter mode on the CPU test platform; the same
+kernel compiles natively on TPU — exercised by bench/entry runs)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from gps_optimize_slam_tpu.ops import metrics
+from gps_optimize_slam_tpu.ops.pallas_kernels import nn_errors_pallas, nn_min_dist2
+
+
+def test_nn_min_dist2_matches_reference():
+    rng = np.random.default_rng(0)
+    traj = rng.normal(size=(300, 3)) * 50
+    cands = rng.normal(size=(411, 3)) * 50
+    mask = rng.random(411) > 0.2
+    d2 = np.asarray(
+        nn_min_dist2(jnp.asarray(traj), jnp.asarray(cands), jnp.asarray(mask), interpret=True)
+    )
+    ref = np.min(
+        np.where(
+            mask[None, :],
+            ((traj[:, None, :] - cands[None, :, :]) ** 2).sum(-1),
+            np.inf,
+        ),
+        axis=1,
+    )
+    np.testing.assert_allclose(d2, ref, rtol=1e-5, atol=1e-3)
+
+
+def test_nn_errors_pallas_matches_jnp_path():
+    rng = np.random.default_rng(1)
+    traj = rng.normal(size=(271, 3)).astype(np.float32) * 20
+    cands = rng.normal(size=(279, 3)).astype(np.float32) * 20
+    tmask = rng.random(271) > 0.1
+    cmask = rng.random(279) > 0.1
+    ours = np.asarray(
+        nn_errors_pallas(
+            jnp.asarray(traj), jnp.asarray(cands), jnp.asarray(tmask), jnp.asarray(cmask),
+            interpret=True,
+        )
+    )
+    ref = np.asarray(
+        metrics.nn_errors(
+            jnp.asarray(traj), jnp.asarray(cands), jnp.asarray(tmask), jnp.asarray(cmask)
+        )
+    )
+    finite = np.isfinite(ref)
+    np.testing.assert_array_equal(np.isfinite(ours), finite)
+    np.testing.assert_allclose(ours[finite], ref[finite], rtol=1e-4, atol=1e-4)
+
+
+def test_nn_min_dist2_all_masked_gives_inf():
+    traj = jnp.zeros((10, 3))
+    cands = jnp.ones((7, 3))
+    d2 = np.asarray(
+        nn_min_dist2(traj, cands, jnp.zeros(7, bool), interpret=True)
+    )
+    assert np.all(np.isinf(d2))
