@@ -60,6 +60,7 @@ def fuse_core(
     key: jax.Array,
     config: FusionConfig = FusionConfig(),
     slam_mask: Optional[jnp.ndarray] = None,
+    time_offset=0.0,
 ) -> FusionOutputs:
     """Full fusion of one sequence. All inputs fixed-shape; invalid GPS
     samples are masked via ``gps_valid`` (output of the outlier gate).
@@ -74,6 +75,7 @@ def fuse_core(
         gps_times,
         gps_positions,
         gps_valid=gps_valid,
+        time_offset=time_offset,
         cfg=config.time_alignment,
     )
     if slam_mask is not None:

@@ -165,6 +165,13 @@ def fuse_arrays(
     slam_times = jnp.asarray(slam["timestamps"], dtype)
     slam_pos = jnp.asarray(slam["positions"], dtype)
     slam_quat = jnp.asarray(slam["quaternions"], dtype)
+    # Clock-offset estimation, faithful to the reference's call site
+    # (EKFGPSSLAM.py:337) — provably 0.0 on any real input (SURVEY Q1).
+    offset = alignment.estimate_time_offset(
+        slam["timestamps"],
+        gps.timestamps[gps.valid],
+        config.time_alignment.max_samples_for_corr,
+    )
     outputs = fusion.fuse_core(
         slam_times,
         slam_pos,
@@ -174,6 +181,7 @@ def fuse_arrays(
         jnp.asarray(gps.valid),
         jax.random.PRNGKey(seed),
         config,
+        time_offset=offset,
     )
     if not bool(outputs.ok):
         raise RuntimeError(

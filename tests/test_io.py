@@ -114,3 +114,19 @@ def test_oxts_extract_roundtrip(tmp_path):
     oxts.extract_oxts(str(d), time_offset=0.0, output_file=str(f))
     reread = gps_io.read_gps_fixes(str(f))
     assert reread["valid"].all() and len(reread["timestamps"]) == 3
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from gps_optimize_slam_tpu.utils.checkpoint import (
+        restore_checkpoint,
+        save_checkpoint,
+    )
+
+    state = {"pos": np.arange(12.0).reshape(4, 3), "q": np.ones((4, 4))}
+    p = str(tmp_path / "ck")
+    save_checkpoint(p, state, {"note": "round1"})
+    restored, meta = restore_checkpoint(
+        p, {"pos": np.zeros((4, 3)), "q": np.zeros((4, 4))}
+    )
+    np.testing.assert_array_equal(restored["pos"], state["pos"])
+    assert meta == {"note": "round1"}
