@@ -25,9 +25,24 @@ BASELINE_E2E_MS = 260.0  # reference best-case end-to-end (BASELINE.md)
 N_TIMING_RUNS = 30
 
 
+def _enable_compile_cache():
+    """Persistent compilation cache — repeat bench runs skip the slow
+    (remote) compiles."""
+    import os
+
+    import jax
+
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def main():
     import jax
     import jax.numpy as jnp
+
+    _enable_compile_cache()
 
     from gps_optimize_slam_tpu import pipeline
     from gps_optimize_slam_tpu.config import FusionConfig

@@ -43,6 +43,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from bench import _enable_compile_cache
+
+    _enable_compile_cache()
+
     from gps_optimize_slam_tpu.parallel import batch as pbatch
     from gps_optimize_slam_tpu.parallel import mesh as pmesh
     from gps_optimize_slam_tpu.config import FusionConfig

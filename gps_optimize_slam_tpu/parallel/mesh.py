@@ -49,6 +49,20 @@ def _fused_fn(config: FusionConfig, mesh: Optional[Mesh], n_args: int):
     """Cached jitted vmapped fusion — building a fresh jax.jit closure per
     call would miss the jit cache and recompile every invocation (measured:
     a 47 s "run" that was 10 recompiles)."""
+    # ekf_scan="auto" resolves against the DEFAULT backend inside fuse_core,
+    # which is wrong when the mesh places execution elsewhere (e.g. the
+    # multichip dry-run builds a virtual CPU mesh under a TPU-default
+    # process — the parallel path's CPU compile is minutes-slow). Resolve
+    # it here against the mesh's actual platform.
+    if config.ekf_scan == "auto" and mesh is not None:
+        platform = next(iter(mesh.devices.flat)).platform
+        resolved = "sequential" if platform == "cpu" else "parallel"
+        if (
+            resolved == "parallel"
+            and config.rts_decision.default_ekf_transition_steps_on_sharp_turn != 0
+        ):
+            resolved = "sequential"
+        config = config.replace(ekf_scan=resolved)
 
     def one(st, sp, sq, gt, gp, gv, k, sm):
         return fusion.fuse_core(st, sp, sq, gt, gp, gv, k, config=config, slam_mask=sm)

@@ -89,3 +89,18 @@ def test_kitti2tum_subcommand(tmp_path):
 def test_parser_rejects_unknown_command():
     with pytest.raises(SystemExit):
         build_parser().parse_args(["frobnicate"])
+
+
+def test_fuse_plot_renders(tmp_path):
+    png = tmp_path / "overview.png"
+    rc = main(
+        [
+            "fuse",
+            reference_fixture("yolotum04.txt"),
+            reference_fixture("combined_output.txt"),
+            "--plot",
+            str(png),
+        ]
+    )
+    assert rc == 0
+    assert png.exists() and png.stat().st_size > 50_000  # a real figure
