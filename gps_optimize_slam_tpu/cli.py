@@ -23,6 +23,10 @@ def _cmd_fuse(args) -> int:
 
     from gps_optimize_slam_tpu import pipeline
     from gps_optimize_slam_tpu.config import FusionConfig
+    from gps_optimize_slam_tpu.utils.logging import enable as enable_logging
+
+    if args.verbose:
+        enable_logging()
 
     config = FusionConfig()
     result = pipeline.fuse_files(
@@ -164,6 +168,7 @@ def build_parser() -> argparse.ArgumentParser:
     f.add_argument("--seed", type=int, default=0)
     f.add_argument("--json", action="store_true", help="machine-readable output")
     f.add_argument("--plot", help="save a matplotlib overview figure (png)")
+    f.add_argument("-v", "--verbose", action="store_true", help="step logging")
     f.set_defaults(fn=_cmd_fuse)
 
     k = sub.add_parser("kitti2tum", help="KITTI poses+times -> TUM file")

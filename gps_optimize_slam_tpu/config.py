@@ -90,6 +90,10 @@ class FusionConfig:
     #                i.e. default_ekf_transition_steps_on_sharp_turn == 0);
     # "auto"       — parallel whenever the config permits it (default).
     ekf_scan: str = "auto"
+    # RTS extent (framework extension): "outage" smooths only GNSS-outage
+    # segments on recovery (reference behaviour); "full" runs the classic
+    # fixed-interval smoother over the entire trajectory.
+    rts_mode: str = "outage"
 
     def replace(self, **kwargs) -> "FusionConfig":
         return dataclasses.replace(self, **kwargs)

@@ -124,6 +124,7 @@ def fuse_core(
         aligned.valid,
         config.ekf,
         config.rts_decision,
+        rts_mode=config.rts_mode,
     )
 
     return FusionOutputs(

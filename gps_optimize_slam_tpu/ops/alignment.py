@@ -72,6 +72,64 @@ def estimate_time_offset(slam_times, gps_times, max_samples: int = 500) -> float
     return float(lag * dt)
 
 
+def estimate_time_offset_xcorr(
+    slam_times,
+    slam_positions,
+    gps_times,
+    gps_positions,
+    max_lag_seconds: float = 10.0,
+    grid_dt: float = 0.05,
+) -> float:
+    """FUNCTIONAL clock-offset estimation (extension beyond the reference).
+
+    The reference's estimator cross-correlates the resampled timestamp ramps
+    themselves and therefore always returns 0 (SURVEY Q1). This one
+    cross-correlates the two SPEED profiles — scale-free after z-scoring, so
+    the monocular SLAM scale ambiguity doesn't matter — and returns the
+    offset to ADD to the GPS timestamps so they align with SLAM time
+    (the same sign convention the alignment consumes).
+    """
+    import numpy as np
+
+    slam_times = np.asarray(slam_times, float)
+    gps_times = np.asarray(gps_times, float)
+    slam_positions = np.asarray(slam_positions, float)
+    gps_positions = np.asarray(gps_positions, float)
+    if len(slam_times) < 3 or len(gps_times) < 3:
+        return 0.0
+
+    def speed_series(t, p):
+        dt = np.diff(t)
+        ok = dt > 1e-9
+        v = np.linalg.norm(np.diff(p, axis=0), axis=1) / np.where(ok, dt, 1.0)
+        tm = (t[:-1] + t[1:]) / 2.0
+        return tm[ok], v[ok]
+
+    ts, vs = speed_series(slam_times, slam_positions)
+    tg, vg = speed_series(gps_times, gps_positions)
+    if len(ts) < 2 or len(tg) < 2:
+        return 0.0
+
+    lo = min(ts[0], tg[0]) - max_lag_seconds
+    hi = max(ts[-1], tg[-1]) + max_lag_seconds
+    grid = np.arange(lo, hi, grid_dt)
+    a = np.interp(grid, ts, vs, left=0.0, right=0.0)
+    b = np.interp(grid, tg, vg, left=0.0, right=0.0)
+
+    def z(x):
+        s = x.std()
+        return (x - x.mean()) / (s if s > 1e-12 else 1.0)
+
+    a, b = z(a), z(b)
+    max_lag = int(round(max_lag_seconds / grid_dt))
+    # corr[k] = Σ a[i] · b[i + k]  for k in [-max_lag, max_lag]:
+    # positive k ⇒ GPS events happen LATER on the grid ⇒ subtract k·dt.
+    lags = np.arange(-max_lag, max_lag + 1)
+    corr = np.array([np.sum(a * np.roll(b, -k)) for k in lags])
+    best = lags[int(np.argmax(corr))]
+    return float(-best * grid_dt)
+
+
 class AlignedGPS(NamedTuple):
     """GPS positions interpolated onto SLAM timestamps.
 

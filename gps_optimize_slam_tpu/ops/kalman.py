@@ -322,6 +322,18 @@ def rts_backward(history: EKFHistory, controls: FusionControls) -> jnp.ndarray:
     return jnp.concatenate([out_rev, history.filt_state[-1:]], axis=0)
 
 
+def full_smoother_controls(controls: FusionControls) -> FusionControls:
+    """Replace the outage-gated RTS membership with FULL fixed-interval
+    smoothing: one segment spanning the whole trajectory, anchored at the
+    last pose. An extension beyond the reference (SURVEY §7 step 9) — the
+    classic RTS smoother over every pose, measured or not."""
+    n = controls.avail.shape[0]
+    return controls._replace(
+        rts_member=jnp.ones((n,), bool),
+        rts_end=jnp.zeros((n,), bool).at[n - 1].set(True),
+    )
+
+
 def fuse_ekf_rts(
     slam_times: jnp.ndarray,
     slam_pos: jnp.ndarray,
@@ -332,15 +344,22 @@ def fuse_ekf_rts(
     valid_mask: jnp.ndarray,
     ekf_cfg: EKFConfig = EKFConfig(),
     rts_cfg: RTSDecisionConfig = RTSDecisionConfig(),
+    rts_mode: str = "outage",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Full EKF + outage-gated RTS fusion (reference apply_ekf_correction,
+    """Full EKF + RTS fusion (reference apply_ekf_correction,
     EKFGPSSLAM.py:831-935) as precompute + two scans.
+
+    ``rts_mode``: "outage" smooths only GNSS-outage segments on recovery
+    (the reference's behaviour); "full" applies the classic fixed-interval
+    smoother over the whole trajectory (extension).
 
     Returns (positions (N,3), quaternions (N,4)).
     """
     controls = precompute_controls(
         slam_times, slam_quat, aligned_gps, valid_mask, rts_cfg
     )
+    if rts_mode == "full":
+        controls = full_smoother_controls(controls)
     params = ekf_params(ekf_cfg, dtype=slam_pos.dtype)
     hist = ekf_forward(
         slam_times,

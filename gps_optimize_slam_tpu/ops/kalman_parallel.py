@@ -250,10 +250,14 @@ def fuse_ekf_rts_parallel(
     valid_mask: jnp.ndarray,
     ekf_cfg: EKFConfig = EKFConfig(),
     rts_cfg: RTSDecisionConfig = RTSDecisionConfig(),
+    rts_mode: str = "outage",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Log-depth equivalent of ``kalman.fuse_ekf_rts`` for hard-update
     configs (effective transition steps ≡ 0; guaranteed statically when
-    rts_cfg.default_ekf_transition_steps_on_sharp_turn == 0)."""
+    rts_cfg.default_ekf_transition_steps_on_sharp_turn == 0).
+
+    ``rts_mode``: "outage" (reference behaviour) or "full" (classic
+    fixed-interval smoothing over the whole trajectory)."""
     if rts_cfg.default_ekf_transition_steps_on_sharp_turn != 0:
         raise ValueError(
             "parallel scan requires hard updates (transition steps == 0); "
@@ -264,6 +268,10 @@ def fuse_ekf_rts_parallel(
     controls = precompute_controls(
         slam_times, slam_quat, aligned_gps, valid_mask, rts_cfg
     )
+    if rts_mode == "full":
+        from gps_optimize_slam_tpu.ops.kalman import full_smoother_controls
+
+        controls = full_smoother_controls(controls)
     params = ekf_params(ekf_cfg, dtype=dtype)
     Q_pos_diag = jnp.diag(params.Q_per_sec)[:3]
     P0_pos = params.P0[:3, :3]

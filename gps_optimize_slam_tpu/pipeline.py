@@ -28,6 +28,7 @@ from gps_optimize_slam_tpu.io import gps as gps_io
 from gps_optimize_slam_tpu.io import tum as tum_io
 from gps_optimize_slam_tpu.models import fusion
 from gps_optimize_slam_tpu.ops import alignment, geodesy, ransac
+from gps_optimize_slam_tpu.utils.logging import get_logger, step
 
 
 @dataclasses.dataclass
@@ -201,11 +202,16 @@ def fuse_files(
     dtype=None,
 ) -> FusionResult:
     """End-to-end: TUM SLAM file + GNSS fix file → fused trajectory."""
+    step(1, 3, f"loading SLAM trajectory {slam_path}")
     slam = tum_io.read_tum(slam_path)
+    step(2, 3, f"loading + projecting + gating GNSS {gps_path} ({frame})")
     gps = load_and_project_gps(
         gps_path, config.gps_filtering_ransac, frame=frame, seed=seed, dtype=dtype
     )
-    return fuse_arrays(slam, gps, config=config, seed=seed, dtype=dtype)
+    step(3, 3, "device fusion (align + Sim3 RANSAC + EKF/RTS) + evaluation")
+    result = fuse_arrays(slam, gps, config=config, seed=seed, dtype=dtype)
+    get_logger().info("fusion done: %s", result.summary().replace("\n", " | "))
+    return result
 
 
 def export_result(
