@@ -119,8 +119,11 @@ def main():
             )
             for a in args[:-1]
         ) + (jax.device_put(np.asarray(args[-1]), cpu),)
+        # Sequential scan for the CPU reference: "auto" would resolve against
+        # the TPU default backend and compile the (CPU-slow) parallel path.
+        cfg_cpu = cfg.replace(ekf_scan="sequential")
         with jax.default_device(cpu):
-            ref = fusion.fuse_core(*args64, config=cfg)
+            ref = fusion.fuse_core(*args64, config=cfg_cpu)
         dev = float(
             jnp.max(
                 jnp.linalg.norm(

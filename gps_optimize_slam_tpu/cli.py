@@ -92,7 +92,6 @@ def _cmd_fuse(args) -> int:
 def _evaluate_against_gt(result, gt_path: str, config):
     """Optional ground-truth GNSS comparison (reference: the GT flow in
     main_process_gui, EKFGPSSLAM.py:1044-1067)."""
-    import numpy as np
     import jax.numpy as jnp
 
     from gps_optimize_slam_tpu import pipeline

@@ -12,7 +12,7 @@ Array-valued noise parameters are stored as tuples and materialised to
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 
 @dataclasses.dataclass(frozen=True)

@@ -32,7 +32,7 @@ Semantics notes (documented quirks, SURVEY.md §2.5):
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp

@@ -46,11 +46,7 @@ import jax.numpy as jnp
 from gps_optimize_slam_tpu.config import EKFConfig, RTSDecisionConfig
 from gps_optimize_slam_tpu.ops import quaternion as quat
 from gps_optimize_slam_tpu.ops import se3
-from gps_optimize_slam_tpu.ops.kalman import (
-    FusionControls,
-    ekf_params,
-    precompute_controls,
-)
+from gps_optimize_slam_tpu.ops.kalman import ekf_params, precompute_controls
 from gps_optimize_slam_tpu.utils.precision import highp
 
 # ---------------------------------------------------------------------------

@@ -17,7 +17,7 @@ Padding invariants (why padded entries cannot perturb real outputs):
 
 from __future__ import annotations
 
-from typing import Dict, List, NamedTuple, Optional, Sequence
+from typing import Dict, NamedTuple, Optional, Sequence
 
 import numpy as np
 

@@ -16,7 +16,7 @@ viable on-chip (BASELINE.json north star).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Optional
+from typing import Dict, Optional
 
 import numpy as np
 
