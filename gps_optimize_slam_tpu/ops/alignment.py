@@ -165,9 +165,13 @@ def _compact_sort(times: jnp.ndarray, positions: jnp.ndarray, valid: jnp.ndarray
 def _segment_structure(t: jnp.ndarray, n_eff, gap_threshold: float):
     """Label gap-separated segments on compacted times.
 
-    Returns per-point (seg_id, is_real) and per-segment arrays (indexed by
-    seg_id, padded to m): start_idx, end_idx, start_t, end_t, length, ok,
-    where ok requires len>=2 and strictly-increasing steps > 1e-9.
+    Returns (seg_id, is_real, start_idx, end_idx, start_t, end_t, length,
+    ok), where the aggregate arrays are PER-POINT (each point carries its
+    own segment's value) — segments are contiguous runs on the sorted
+    times, so every aggregate reduces to a cumulative max / prefix-sum
+    difference instead of the scatter-based `segment_*` ops (TPU scatters
+    were the hot spot of alignment at scale). ``ok`` requires len ≥ 2 and
+    all within-segment steps > 1e-9.
     """
     m = t.shape[0]
     idx = jnp.arange(m)
@@ -177,29 +181,29 @@ def _segment_structure(t: jnp.ndarray, n_eff, gap_threshold: float):
     is_start = jnp.concatenate([jnp.ones((1,), bool), gap])
     seg_id = jnp.cumsum(is_start.astype(jnp.int32)) - 1
 
-    ones = jnp.where(is_real, 1, 0)
-    seg_len = jax.ops.segment_sum(ones, seg_id, num_segments=m)
-    big = jnp.asarray(jnp.iinfo(jnp.int32).max, jnp.int32)
-    seg_start_idx = jax.ops.segment_min(
-        jnp.where(is_real, idx, big).astype(jnp.int32), seg_id, num_segments=m
+    # Per-point segment start = last start index ≤ j (forward cummax);
+    # segment end = next end index ≥ j (reverse trick on the same cummax).
+    start_idx = jax.lax.cummax(jnp.where(is_start, idx, -1))
+    is_end = jnp.concatenate([gap, jnp.ones((1,), bool)])
+    end_rev = jax.lax.cummax(
+        jnp.flip(jnp.where(is_end, (m - 1) - idx, -1))
     )
-    seg_end_idx = jax.ops.segment_max(
-        jnp.where(is_real, idx, -1).astype(jnp.int32), seg_id, num_segments=m
+    end_idx = (m - 1) - jnp.flip(end_rev)
+
+    start_t = t[jnp.clip(start_idx, 0, m - 1)]
+    end_t = t[jnp.clip(end_idx, 0, m - 1)]
+    seg_len = end_idx - start_idx + 1
+
+    # Any within-segment step ≤ 1e-9 ⇒ segment skipped (reference
+    # EKFGPSSLAM.py:364-366). Prefix-sum difference over the contiguous run
+    # (NaN steps in the padding compare False on both conditions).
+    bad = (dt <= 1e-9) & ~gap
+    cum_bad = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(bad.astype(jnp.int32))]
     )
-    seg_start_t = jax.ops.segment_min(
-        jnp.where(is_real, t, _INF), seg_id, num_segments=m
-    )
-    seg_end_t = jax.ops.segment_max(
-        jnp.where(is_real, t, -_INF), seg_id, num_segments=m
-    )
-    # Within-segment steps: dt[j] belongs to seg of point j if point j+1 is
-    # in the same segment (no gap at j) and both real.
-    intra = (~gap) & is_real[:-1] & is_real[1:]
-    seg_min_dt = jax.ops.segment_min(
-        jnp.where(intra, dt, _INF), seg_id[:-1], num_segments=m
-    )
-    seg_ok = (seg_len >= 2) & (seg_min_dt > 1e-9)
-    return seg_id, is_real, seg_start_idx, seg_end_idx, seg_start_t, seg_end_t, seg_len, seg_ok
+    any_bad = (cum_bad[jnp.clip(end_idx, 0, m - 1)] - cum_bad[jnp.clip(start_idx, 0, m - 1)]) > 0
+    seg_ok = (seg_len >= 2) & ~any_bad
+    return seg_id, is_real, start_idx, end_idx, start_t, end_t, seg_len, seg_ok
 
 
 def _notaknot_moments(
@@ -226,9 +230,9 @@ def _notaknot_moments(
     hm1 = jnp.concatenate([jnp.ones((1,), t.dtype), dt])  # h[j-1]
     hm2 = jnp.concatenate([jnp.ones((2,), t.dtype), dt[:-1]])  # h[j-2]
 
-    cubic_here = seg_ok[seg_id] & (seg_len[seg_id] >= 4) & is_real
-    at_start = idx == seg_start_idx[seg_id]
-    at_end = idx == seg_end_idx[seg_id]
+    cubic_here = seg_ok & (seg_len >= 4) & is_real
+    at_start = idx == seg_start_idx
+    at_end = idx == seg_end_idx
     interior = cubic_here & ~at_start & ~at_end
     start_row = cubic_here & at_start
     end_row = cubic_here & at_end
@@ -315,15 +319,15 @@ def _notaknot_moments_tridiag(
     h_s = jnp.where(jnp.isfinite(h) & (h > 0), h, 1.0)
     hm1_s = jnp.where(jnp.isfinite(hm1) & (hm1 > 0), hm1, 1.0)
 
-    cubic_here = seg_ok[seg_id] & (seg_len[seg_id] >= 4) & is_real
-    first_int = cubic_here & (idx == seg_start_idx[seg_id] + 1)
-    last_int = cubic_here & (idx == seg_end_idx[seg_id] - 1)
+    cubic_here = seg_ok & (seg_len >= 4) & is_real
+    first_int = cubic_here & (idx == seg_start_idx + 1)
+    last_int = cubic_here & (idx == seg_end_idx - 1)
     # With len==4 a row can be first AND last interior simultaneously? No:
     # first = s+1, last = e-1 = s+2 — distinct. Plain interior otherwise.
     plain = (
         cubic_here
-        & (idx > seg_start_idx[seg_id] + 1)
-        & (idx < seg_end_idx[seg_id] - 1)
+        & (idx > seg_start_idx + 1)
+        & (idx < seg_end_idx - 1)
     )
 
     # Divided-difference RHS r_j.
@@ -351,8 +355,8 @@ def _notaknot_moments_tridiag(
     # Recover corner moments:
     # M_s = [M_{s+1}(h_s+h_{s+1}) − M_{s+2}·h_s] / h_{s+1}
     # M_e = [M_{e-1}(h_{e-2}+h_{e-1}) − M_{e-2}·h_{e-1}] / h_{e-2}
-    at_start = cubic_here & (idx == seg_start_idx[seg_id])
-    at_end = cubic_here & (idx == seg_end_idx[seg_id])
+    at_start = cubic_here & (idx == seg_start_idx)
+    at_end = cubic_here & (idx == seg_end_idx)
     j1 = jnp.clip(idx + 1, 0, m - 1)
     j2 = jnp.clip(idx + 2, 0, m - 1)
     h0 = h_s
@@ -425,11 +429,11 @@ def align_gps_to_slam(
     # Bracketing interval for each SLAM timestamp.
     j = jnp.searchsorted(t, slam_times, side="right") - 1
     j = jnp.clip(j, 0, m - 1)
-    sid = seg_id[j]
     # A timestamp equal to a segment's last knot must evaluate on the
     # interval to its LEFT (the bracketing interval crosses the gap).
+    # (Aggregates are per-point arrays — gather at the bracketing index j.)
     j_eval = jnp.where(
-        (j == seg_end_idx[sid]) & (j > seg_start_idx[sid]), j - 1, j
+        (j == seg_end_idx[j]) & (j > seg_start_idx[j]), j - 1, j
     )
     j_eval = jnp.clip(j_eval, 0, m - 2)
 
@@ -455,14 +459,14 @@ def align_gps_to_slam(
     )
     linear_val = y0 + (y1 - y0) * (u / hh)
 
-    use_cubic = (seg_len[sid] >= 4)[:, None]
+    use_cubic = (seg_len[j] >= 4)[:, None]
     aligned = jnp.where(use_cubic, cubic_val, linear_val)
 
     valid = (
         (slam_times >= t[0])
-        & (slam_times >= seg_start_t[sid])
-        & (slam_times <= seg_end_t[sid])
-        & seg_ok[sid]
+        & (slam_times >= seg_start_t[j])
+        & (slam_times <= seg_end_t[j])
+        & seg_ok[j]
         & is_real[j]
     )
     aligned = jnp.where(valid[:, None], aligned, jnp.nan)

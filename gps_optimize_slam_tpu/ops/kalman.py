@@ -99,35 +99,36 @@ def precompute_controls(
     run_start = last_avail + 1  # for ~avail[j], index of its run's start
     run_len_at = idx - last_avail  # for ~avail[j], run length up to j incl.
 
-    # Yaw rate between consecutive SLAM poses (k−1, k).
+    # Yaw rate between consecutive SLAM poses (k−1, k). Runs are contiguous,
+    # so every per-run "any(...)" aggregate is a prefix-sum difference over
+    # the run span — no scatter-based segment ops (TPU scatters serialise).
     yaws = quat.yaw(slam_quats)
     dyaw = quat.wrap_angle(yaws[1:] - yaws[:-1])
     dts = slam_times[1:] - slam_times[:-1]
     rate = jnp.where(dts > 0, jnp.abs(dyaw / jnp.where(dts > 0, dts, 1.0)), 0.0)
-    # Pair (k−1, k) belongs to the outage run iff both endpoints invalid.
+    thresh = jnp.deg2rad(rts_cfg.sharp_turn_yaw_rate_threshold_deg_per_sec)
+    # Pair k covers poses (k, k+1); it is a within-run pair iff both invalid.
     pair_in_run = (~avail[:-1]) & (~avail[1:])
-    run_id_pair = jnp.where(pair_in_run, run_start[1:], n)  # n = discard bin
-    max_rate = jax.ops.segment_max(
-        jnp.where(pair_in_run, rate, -jnp.inf), run_id_pair, num_segments=n + 1
-    )[:n]
+    high = pair_in_run & (rate > thresh)
+    cum_high = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(high.astype(jnp.int32))]
+    )  # cum_high[j] = Σ high[0..j-1]
     # Degenerate quaternions anywhere in the run ⇒ sharp (reference :821).
-    bad_quat = quat.norm(slam_quats) < 1e-15
-    run_id_pt = jnp.where(~avail, run_start, n)
-    run_has_bad = (
-        jax.ops.segment_sum(
-            (bad_quat & ~avail).astype(jnp.int32), run_id_pt, num_segments=n + 1
-        )[:n]
-        > 0
+    bad_quat = (quat.norm(slam_quats) < 1e-15) & ~avail
+    cum_bad = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(bad_quat.astype(jnp.int32))]
     )
 
-    thresh = jnp.deg2rad(rts_cfg.sharp_turn_yaw_rate_threshold_deg_per_sec)
-    run_sharp = (max_rate > thresh) | run_has_bad
-
-    # For a recovery at i, the outage run ends at i−1 with start s = run_start[i−1].
+    # For a recovery at i, the outage run is [s..i−1], s = run_start[i−1]:
+    # sharp ⟺ any high pair with index in [s..i−2] or any bad quat in [s..i−1].
     prev_run_start = jnp.concatenate([jnp.zeros((1,), idx.dtype), run_start[:-1]])
     prev_run_len = jnp.concatenate([jnp.zeros((1,), idx.dtype), run_len_at[:-1]])
     analyse = is_recovery & (prev_run_len >= 2)
-    sharp_at_recovery = analyse & run_sharp[jnp.clip(prev_run_start, 0, n - 1)]
+    s_clip = jnp.clip(prev_run_start, 0, n - 1)
+    # cum_high index i−1 ⇒ pairs [s..i−2]; clip guards i=0 (never a recovery).
+    any_high = (cum_high[jnp.clip(idx - 1, 0, n - 1)] - cum_high[s_clip]) > 0
+    any_bad = (cum_bad[idx] - cum_bad[s_clip]) > 0
+    sharp_at_recovery = analyse & (any_high | any_bad)
 
     perform_rts = is_recovery & ~sharp_at_recovery
     eff_steps = jnp.where(
@@ -137,22 +138,19 @@ def precompute_controls(
     )
 
     # RTS membership: the outage run [s..i−1] of a perform_rts recovery i,
-    # plus i itself. A run is smoothed iff the step after its last index is
-    # a perform_rts recovery.
-    next_is_rts_recovery = jnp.concatenate([perform_rts[1:], jnp.zeros((1,), bool)])
-    # run_smoothed keyed by run start: true if the run's last element j has
-    # next_is_rts_recovery[j]. Last element of a run satisfies ~avail[j] &
-    # avail[j+1] (or j = n−1, which has no recovery → not smoothed).
+    # plus i itself. For an invalid point j, its run's END is the nearest
+    # index k ≥ j with run_last[k] (reverse cummax); the run is smoothed iff
+    # the step after that end is a perform_rts recovery. A trailing run has
+    # no run_last (no recovery) and stays unsmoothed.
     run_last = (~avail) & jnp.concatenate([avail[1:], jnp.zeros((1,), bool)])
-    run_smoothed = (
-        jax.ops.segment_sum(
-            (run_last & next_is_rts_recovery).astype(jnp.int32),
-            run_id_pt,
-            num_segments=n + 1,
-        )[:n]
-        > 0
+    e_rev = jax.lax.cummax(jnp.flip(jnp.where(run_last, (n - 1) - idx, -1)))
+    e = jnp.flip(e_rev)
+    found = e >= 0
+    run_end = (n - 1) - jnp.where(found, e, 0)
+    member_invalid = (
+        (~avail) & found & perform_rts[jnp.clip(run_end + 1, 0, n - 1)]
     )
-    rts_member = ((~avail) & run_smoothed[jnp.clip(run_start, 0, n - 1)]) | perform_rts
+    rts_member = member_invalid | perform_rts
 
     return FusionControls(
         avail=avail,
