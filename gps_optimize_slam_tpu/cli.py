@@ -4,7 +4,10 @@ Replaces the reference's tkinter dialog flow (EKFGPSSLAM.py:669-674,
 940-956) and the GPSmerge/kitti2tum script entry points with one CLI:
 
     python -m gps_optimize_slam_tpu fuse SLAM.tum GPS.txt [-o OUT] [--gt GT]
-        [--frame utm|enu] [--plot out.png] [--json]
+        [--frame utm|enu] [--plot out.png] [--json] [--config cfg.json]
+        [--rts-mode outage|full] [--ekf-scan auto|sequential|parallel]
+        [--estimate-offset off|faithful|xcorr] [--meas-noise SX SY SZ]
+        [--no-gps-filter]
     python -m gps_optimize_slam_tpu kitti2tum POSES TIMES OUT
     python -m gps_optimize_slam_tpu oxts-extract OXTS_DIR [-o OUT]
         [--offset SECONDS] [--single-offset]
@@ -17,29 +20,58 @@ import json
 import sys
 
 
-def _cmd_fuse(args) -> int:
-    import numpy as np
-    import jax.numpy as jnp
+def _build_config(args):
+    """FusionConfig from --config JSON + individual flag overrides."""
+    from gps_optimize_slam_tpu.config import FusionConfig, config_from_dict
 
+    if getattr(args, "config", None):
+        with open(args.config) as f:
+            config = config_from_dict(json.load(f))
+    else:
+        config = FusionConfig()
+    if getattr(args, "rts_mode", None):
+        config = config.replace(rts_mode=args.rts_mode)
+    if getattr(args, "ekf_scan", None):
+        config = config.replace(ekf_scan=args.ekf_scan)
+    if getattr(args, "estimate_offset", None):
+        config = config.replace(offset_mode=args.estimate_offset)
+    if getattr(args, "meas_noise", None):
+        import dataclasses
+
+        config = config.replace(
+            ekf=dataclasses.replace(
+                config.ekf, meas_noise_diag=tuple(args.meas_noise)
+            )
+        )
+    if getattr(args, "no_gps_filter", False):
+        import dataclasses
+
+        config = config.replace(
+            gps_filtering_ransac=dataclasses.replace(
+                config.gps_filtering_ransac, enabled=False
+            )
+        )
+    return config
+
+
+def _cmd_fuse(args) -> int:
     from gps_optimize_slam_tpu import pipeline
-    from gps_optimize_slam_tpu.config import FusionConfig
     from gps_optimize_slam_tpu.utils.logging import enable as enable_logging
 
     if args.verbose:
         enable_logging()
 
-    config = FusionConfig()
+    config = _build_config(args)
     result = pipeline.fuse_files(
-        args.slam, args.gps, config=config, frame=args.frame, seed=args.seed
+        args.slam,
+        args.gps,
+        config=config,
+        frame=args.frame,
+        seed=args.seed,
+        gt_path=args.gt,
     )
-    if args.gt:
-        gt_stats = _evaluate_against_gt(result, args.gt, config)
-    else:
-        gt_stats = None
 
     if args.json:
-        ev = result.evaluation
-
         def stats(s):
             return {
                 "mean_m": float(s.mean),
@@ -49,27 +81,32 @@ def _cmd_fuse(args) -> int:
                 "count": int(s.count),
             }
 
+        def eval_block(ev):
+            return {
+                "nn": {
+                    "slam": stats(ev.nn_slam),
+                    "sim3": stats(ev.nn_sim3),
+                    "ekf": stats(ev.nn_ekf),
+                },
+                "ate": {"sim3": stats(ev.ate_sim3), "ekf": stats(ev.ate_ekf)},
+            }
+
+        ev = result.evaluation
         out = {
             "poses": len(result.slam["timestamps"]),
             "gps_kept": int(result.gps.valid.sum()),
             "sim3_scale": result.sim3_scale,
-            "nn_vs_primary": {
-                "slam": stats(ev.nn_slam),
-                "sim3": stats(ev.nn_sim3),
-                "ekf": stats(ev.nn_ekf),
-            },
-            "ate_vs_primary": {"sim3": stats(ev.ate_sim3), "ekf": stats(ev.ate_ekf)},
+            "time_offset_s": result.time_offset,
+            "nn_vs_primary": eval_block(ev)["nn"],
+            "ate_vs_primary": eval_block(ev)["ate"],
         }
-        if gt_stats is not None:
-            out["nn_vs_ground_truth"] = gt_stats
+        if result.gt_evaluation is not None:
+            gt_block = eval_block(result.gt_evaluation)
+            out["nn_vs_ground_truth"] = gt_block["nn"]
+            out["ate_vs_ground_truth"] = gt_block["ate"]
         print(json.dumps(out, indent=2))
     else:
         print(result.summary())
-        if gt_stats is not None:
-            print(
-                "vs ground-truth GNSS: "
-                + ", ".join(f"{k} rmse={v['rmse_m']:.3f}m" for k, v in gt_stats.items())
-            )
 
     if args.output:
         wgs = None
@@ -87,47 +124,6 @@ def _cmd_fuse(args) -> int:
         plot_fusion_result(result, args.plot)
         print(f"plot saved: {args.plot}")
     return 0
-
-
-def _evaluate_against_gt(result, gt_path: str, config):
-    """Optional ground-truth GNSS comparison (reference: the GT flow in
-    main_process_gui, EKFGPSSLAM.py:1044-1067)."""
-    import jax.numpy as jnp
-
-    from gps_optimize_slam_tpu import pipeline
-    from gps_optimize_slam_tpu.ops import alignment, metrics
-
-    gt = pipeline.load_and_project_gps(
-        gt_path,
-        config.ground_truth_gps_filtering,
-        frame=result.gps.frame,
-        lon_first=True,
-    )
-    slam_t = jnp.asarray(result.slam["timestamps"])
-    al = alignment.align_gps_to_slam(
-        slam_t,
-        jnp.asarray(gt.timestamps),
-        jnp.asarray(gt.positions),
-        gps_valid=jnp.asarray(gt.valid),
-        cfg=config.time_alignment,
-    )
-    gate = metrics.eval_mask(slam_t, al.valid, 5.0)
-    cands = jnp.nan_to_num(al.aligned, nan=0.0)
-    out = {}
-    for name, traj in [
-        ("slam", jnp.asarray(result.slam["positions"])),
-        ("sim3", result.outputs.sim3_pos),
-        ("ekf", result.outputs.corrected_pos),
-    ]:
-        st = metrics.error_stats(metrics.nn_errors(traj, cands, gate, gate), gate)
-        out[name] = {
-            "mean_m": float(st.mean),
-            "median_m": float(st.median),
-            "rmse_m": float(st.rmse),
-            "max_m": float(st.max),
-            "count": int(st.count),
-        }
-    return out
 
 
 def _cmd_kitti2tum(args) -> int:
@@ -168,6 +164,38 @@ def build_parser() -> argparse.ArgumentParser:
     f.add_argument("--json", action="store_true", help="machine-readable output")
     f.add_argument("--plot", help="save a matplotlib overview figure (png)")
     f.add_argument("-v", "--verbose", action="store_true", help="step logging")
+    f.add_argument(
+        "--config",
+        help="JSON config file (reference CONFIG layout, see config_from_dict)",
+    )
+    f.add_argument(
+        "--rts-mode",
+        choices=["outage", "full"],
+        help="RTS extent: outage segments only (reference) or full trajectory",
+    )
+    f.add_argument(
+        "--ekf-scan",
+        choices=["auto", "sequential", "parallel"],
+        help="EKF scan strategy (auto = parallel off-CPU)",
+    )
+    f.add_argument(
+        "--estimate-offset",
+        choices=["off", "faithful", "xcorr"],
+        help="clock-offset estimator (faithful = reference no-op, "
+        "xcorr = functional speed-profile correlation)",
+    )
+    f.add_argument(
+        "--meas-noise",
+        type=float,
+        nargs=3,
+        metavar=("SX", "SY", "SZ"),
+        help="override the GPS measurement-noise diagonal (m)",
+    )
+    f.add_argument(
+        "--no-gps-filter",
+        action="store_true",
+        help="disable the polynomial-RANSAC GPS outlier gate",
+    )
     f.set_defaults(fn=_cmd_fuse)
 
     k = sub.add_parser("kitti2tum", help="KITTI poses+times -> TUM file")

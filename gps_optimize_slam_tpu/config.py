@@ -94,6 +94,13 @@ class FusionConfig:
     # segments on recovery (reference behaviour); "full" runs the classic
     # fixed-interval smoother over the entire trajectory.
     rts_mode: str = "outage"
+    # Clock-offset estimation before temporal alignment (host-side):
+    # "faithful" — the reference's ramp cross-correlation, provably 0.0 on
+    #              real inputs (SURVEY Q1, EKFGPSSLAM.py:301-323);
+    # "off"      — skip estimation (offset 0);
+    # "xcorr"    — functional speed-profile cross-correlation (extension)
+    #              that actually recovers real clock offsets.
+    offset_mode: str = "faithful"
 
     def replace(self, **kwargs) -> "FusionConfig":
         return dataclasses.replace(self, **kwargs)
@@ -119,6 +126,22 @@ def config_from_dict(d: dict) -> FusionConfig:
                 kw[tk] = tuple(kw[tk])
         return cls(**kw)
 
+    known_sections = {
+        "ekf",
+        "sim3_ransac",
+        "gps_filtering_ransac",
+        "time_alignment",
+        "ground_truth_gps_filtering",
+        "rts_decision",
+    }
+    # Framework-extension scalars accepted at the top level.
+    scalars = {
+        k: d[k] for k in ("ekf_scan", "rts_mode", "offset_mode") if k in d
+    }
+    unknown = set(d) - known_sections - set(scalars)
+    if unknown:
+        raise ValueError(f"unknown config keys: {sorted(unknown)}")
+
     return FusionConfig(
         ekf=_sub(
             EKFConfig,
@@ -130,4 +153,5 @@ def config_from_dict(d: dict) -> FusionConfig:
         time_alignment=_sub(TimeAlignConfig, "time_alignment"),
         ground_truth_gps_filtering=_sub(GPSFilterConfig, "ground_truth_gps_filtering"),
         rts_decision=_sub(RTSDecisionConfig, "rts_decision"),
+        **scalars,
     )

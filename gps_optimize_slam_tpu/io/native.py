@@ -28,6 +28,7 @@ _ERRORS = {
     -3: "row has fewer columns than the first row",
     -4: "row has more columns than the first row",
     -5: "unparsable numeric token",
+    -6: "file grew between sizing and fill calls",
 }
 
 

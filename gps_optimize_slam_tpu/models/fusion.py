@@ -177,3 +177,49 @@ def evaluate(
         ate_sim3=ate(outputs.sim3_pos),
         ate_ekf=ate(outputs.corrected_pos),
     )
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+@highp
+def evaluate_vs_track(
+    slam_times: jnp.ndarray,
+    slam_pos: jnp.ndarray,
+    outputs: FusionOutputs,
+    track_times: jnp.ndarray,
+    track_positions: jnp.ndarray,
+    track_valid: jnp.ndarray,
+    cfg: FusionConfig = FusionConfig(),
+    skip_seconds: float = 5.0,
+):
+    """Evaluation against an INDEPENDENT reference track (e.g. ground-truth
+    GNSS), reference EKFGPSSLAM.py:1044-1067: the track is temporally
+    aligned onto the SLAM timestamps and the same NN/ATE statistics are
+    computed for raw SLAM / Sim3 / EKF. Returns ``(Evaluation, AlignedGPS)``
+    — the aligned track is what the plot layer overlays
+    (EKFGPSSLAM.py:1069-1082 picks GT-based errors for plotting)."""
+    al = alignment.align_gps_to_slam(
+        slam_times,
+        track_times,
+        track_positions,
+        gps_valid=track_valid,
+        cfg=cfg.time_alignment,
+    )
+    gate = metrics.eval_mask(slam_times, al.valid, skip_seconds)
+    cands = jnp.nan_to_num(al.aligned, nan=0.0)
+
+    def nn(traj):
+        e = metrics.nn_errors(traj, cands, gate, gate)
+        return metrics.error_stats(e, gate)
+
+    def ate(traj):
+        e = metrics.paired_errors(traj, al.aligned, gate)
+        return metrics.error_stats(e, gate)
+
+    ev = Evaluation(
+        nn_slam=nn(slam_pos),
+        nn_sim3=nn(outputs.sim3_pos),
+        nn_ekf=nn(outputs.corrected_pos),
+        ate_sim3=ate(outputs.sim3_pos),
+        ate_ekf=ate(outputs.corrected_pos),
+    )
+    return ev, al

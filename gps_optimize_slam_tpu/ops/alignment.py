@@ -494,12 +494,17 @@ def sim3_window_mask(
     order = jnp.argsort(jnp.where(valid, 0, 1), stable=True)
     vt = jnp.where(valid[order], slam_times[order], _INF)
     n_valid = jnp.sum(valid)
-    # First gap among consecutive valid times.
+    # First gap among consecutive valid times. Only pairs where BOTH entries
+    # are real valid times count — the valid→_INF boundary diff is not a gap.
     diffs = jnp.diff(vt)
-    gap_pos = jnp.where(diffs > gap_threshold, jnp.arange(n - 1), n)
+    real_pair = jnp.arange(n - 1) < (n_valid - 1)
+    gap_pos = jnp.where((diffs > gap_threshold) & real_pair, jnp.arange(n - 1), n)
     first_gap = jnp.min(jnp.concatenate([gap_pos, jnp.asarray([n])]))
-    # Count of points in the first run (clip by n_valid).
-    run_len = jnp.minimum(first_gap + 1, n_valid)
+    # Count of points in the first run. The reference slices
+    # valid_indices[:first_gap_idx] (EKFGPSSLAM.py:982-984) — the point ON the
+    # gap boundary (index first_gap) is EXCLUDED from the first segment; with
+    # no gap the segment is all n_valid points.
+    run_len = jnp.minimum(jnp.where(first_gap < n, first_gap, n), n_valid)
     run_start_t = vt[0]
     run_end_t = vt[jnp.clip(run_len - 1, 0, n - 1)]
 

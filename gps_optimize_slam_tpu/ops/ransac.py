@@ -180,8 +180,11 @@ def gps_poly_ransac_mask(
     dtype = positions.dtype
     use_windows = cfg.use_sliding_window and window_starts is not None
     if not use_windows:
-        window_starts = jnp.asarray([-jnp.inf], dtype)
-        duration = jnp.inf
+        # Global mode: one window spanning everything. The start value is a
+        # placeholder — window_mask branches statically on use_windows, so no
+        # time comparison (and no finite-start gate) applies to it.
+        window_starts = jnp.zeros((1,), dtype)
+        duration = cfg.window_duration_seconds
     else:
         window_starts = jnp.asarray(window_starts, dtype)
         duration = cfg.window_duration_seconds
@@ -202,9 +205,15 @@ def gps_poly_ransac_mask(
         return inls[best], counts[best] >= 0
 
     def window_mask(k, start):
-        in_window = (times >= start) & (times < start + duration) & valid
-        n_w = jnp.sum(in_window)
-        window_ok = (n_w >= cfg.min_samples) & jnp.isfinite(start)
+        if use_windows:
+            in_window = (times >= start) & (times < start + duration) & valid
+            n_w = jnp.sum(in_window)
+            # NaN window starts are padding rows — drop them.
+            window_ok = (n_w >= cfg.min_samples) & jnp.isfinite(start)
+        else:
+            in_window = valid  # the single global window covers everything
+            n_w = jnp.sum(in_window)
+            window_ok = n_w >= cfg.min_samples
 
         ks = jax.random.split(k, 3)
         inl_axes, ok_axes = jax.vmap(

@@ -31,7 +31,12 @@ SEQ_AXIS = "seq"
 def make_mesh(devices: Optional[Sequence] = None, n_devices: Optional[int] = None) -> Mesh:
     """1-D mesh over the sequence (data) axis."""
     if devices is None:
-        devices = jax.devices()
+        try:
+            devices = jax.devices()
+        except Exception:
+            # Default platform broken/absent (e.g. a dead TPU client during
+            # a CPU-mesh dry run) — the CPU platform always exists.
+            devices = jax.devices("cpu")
         if n_devices is not None:
             if len(devices) < n_devices:
                 # Fall back to the virtual CPU platform when asked for more
@@ -64,8 +69,10 @@ def _fused_fn(config: FusionConfig, mesh: Optional[Mesh], n_args: int):
             resolved = "sequential"
         config = config.replace(ekf_scan=resolved)
 
-    def one(st, sp, sq, gt, gp, gv, k, sm):
-        return fusion.fuse_core(st, sp, sq, gt, gp, gv, k, config=config, slam_mask=sm)
+    def one(st, sp, sq, gt, gp, gv, k, sm, toff):
+        return fusion.fuse_core(
+            st, sp, sq, gt, gp, gv, k, config=config, slam_mask=sm, time_offset=toff
+        )
 
     fused = jax.vmap(one)
     if mesh is None:
@@ -74,36 +81,65 @@ def _fused_fn(config: FusionConfig, mesh: Optional[Mesh], n_args: int):
     return jax.jit(fused, in_shardings=(shard,) * n_args, out_shardings=shard)
 
 
+def _round_up(x: int, multiple: int) -> int:
+    return ((x + multiple - 1) // multiple) * multiple
+
+
 def fuse_batch(
     batch: SequenceBatch,
     keys: jax.Array,
     config: FusionConfig = FusionConfig(),
     mesh: Optional[Mesh] = None,
     dtype=None,
+    time_offsets=None,
 ):
     """Fuse a padded batch of sequences; one `vmap`ped device program.
 
     With ``mesh`` given, inputs/outputs are sharded over the batch axis —
-    each device fuses its shard of sequences independently.
-    Batch size must be divisible by the mesh size.
+    each device fuses its shard of sequences independently. Any batch size
+    works: when B is not a mesh multiple, the batch axis is padded with
+    copies of the first sequence and the padding rows are sliced off the
+    outputs (per-row results are independent under vmap, so duplicates
+    cannot perturb real rows).
+
+    Mesh-platform hermeticity (the round-1 MULTICHIP failure): with a mesh,
+    every input is staged as host NumPy and `jax.device_put` directly onto
+    the mesh sharding — nothing dispatches on the DEFAULT backend, so a CPU
+    mesh works even when the default accelerator platform is broken or
+    absent. ``keys`` must be raw uint32 PRNG keys (jax.random.PRNGKey) —
+    they are staged through NumPy the same way.
     """
     dtype = dtype or jnp.result_type(batch.slam_pos.dtype, jnp.float32)
 
-    args = (
-        jnp.asarray(batch.slam_times, dtype),
-        jnp.asarray(batch.slam_pos, dtype),
-        jnp.asarray(batch.slam_quat, dtype),
-        jnp.asarray(batch.gps_times, dtype),
-        jnp.asarray(batch.gps_pos, dtype),
-        jnp.asarray(batch.gps_valid),
-        keys,
-        jnp.asarray(batch.slam_mask),
+    if time_offsets is None:
+        time_offsets = np.zeros(batch.slam_times.shape[0])
+    host_args = (
+        np.asarray(batch.slam_times, dtype),
+        np.asarray(batch.slam_pos, dtype),
+        np.asarray(batch.slam_quat, dtype),
+        np.asarray(batch.gps_times, dtype),
+        np.asarray(batch.gps_pos, dtype),
+        np.asarray(batch.gps_valid),
+        np.asarray(keys),
+        np.asarray(batch.slam_mask),
+        np.asarray(time_offsets, dtype),
     )
-    fn = _fused_fn(config, mesh, len(args))
-    if mesh is not None:
-        shard = NamedSharding(mesh, P(SEQ_AXIS))
-        args = tuple(jax.device_put(a, shard) for a in args)
-    return fn(*args)
+    if mesh is None:
+        args = tuple(jnp.asarray(a) for a in host_args)
+        return _fused_fn(config, None, len(args))(*args)
+
+    b = host_args[0].shape[0]
+    b_pad = _round_up(b, mesh.devices.size)
+    if b_pad != b:
+        reps = np.concatenate([np.arange(b), np.zeros(b_pad - b, np.intp)])
+        host_args = tuple(a[reps] for a in host_args)
+
+    shard = NamedSharding(mesh, P(SEQ_AXIS))
+    args = tuple(jax.device_put(a, shard) for a in host_args)
+    out = _fused_fn(config, mesh, len(args))(*args)
+    if b_pad != b:
+        out = jax.tree.map(lambda x: x[:b], out)
+    return out
 
 
 @lru_cache(maxsize=8)
@@ -112,9 +148,15 @@ def _eval_fn(skip_seconds: float):
 
 
 def evaluate_batch(batch: SequenceBatch, outputs, skip_seconds: float = 5.0):
-    """Vmapped evaluation over the batch (masked to real poses)."""
+    """Vmapped evaluation over the batch (masked to real poses).
+
+    Inputs are placed on the outputs' own sharding — like ``fuse_batch``,
+    nothing dispatches on the default backend when outputs live on a mesh.
+    """
+    dt = outputs.corrected_pos.dtype
+    place = outputs.corrected_pos.sharding
     return _eval_fn(skip_seconds)(
-        jnp.asarray(batch.slam_times, outputs.corrected_pos.dtype),
-        jnp.asarray(batch.slam_pos, outputs.corrected_pos.dtype),
+        jax.device_put(np.asarray(batch.slam_times, dt), place),
+        jax.device_put(np.asarray(batch.slam_pos, dt), place),
         outputs,
     )

@@ -51,6 +51,12 @@ class FusionResult:
     outputs: fusion.FusionOutputs
     evaluation: fusion.Evaluation
     config: FusionConfig
+    # Estimated clock offset (s) added to GPS timestamps before alignment.
+    time_offset: float = 0.0
+    # Optional ground-truth GNSS comparison (reference EKFGPSSLAM.py:1044-1082).
+    gt: Optional[GPSData] = None
+    gt_evaluation: Optional[fusion.Evaluation] = None
+    gt_aligned: Optional[alignment.AlignedGPS] = None
 
     @property
     def corrected_pos(self) -> np.ndarray:
@@ -86,6 +92,16 @@ class FusionResult:
                 f"rmse={float(st.rmse):.3f}m max={float(st.max):.3f}m "
                 f"n={int(st.count)}"
             )
+        if self.gt_evaluation is not None:
+            gv = self.gt_evaluation
+            for name, st in [
+                ("vs GT: Sim3 (NN)", gv.nn_sim3),
+                ("vs GT: EKF  (NN)", gv.nn_ekf),
+            ]:
+                lines.append(
+                    f"{name}: mean={float(st.mean):.3f}m rmse={float(st.rmse):.3f}m "
+                    f"max={float(st.max):.3f}m n={int(st.count)}"
+                )
         return "\n".join(lines)
 
 
@@ -96,18 +112,27 @@ def load_and_project_gps(
     lon_first: bool = False,
     seed: int = 0,
     dtype=None,
+    like: Optional[GPSData] = None,
 ) -> GPSData:
     """Load GNSS fixes, project to the working frame, gate outliers.
 
     Equivalent of load_gps_data (reference: EKFGPSSLAM.py:249-289) with the
-    filter returning a mask instead of dropping rows."""
+    filter returning a mask instead of dropping rows.
+
+    ``like``: project into the SAME frame as an already-loaded track (same
+    UTM zone / same ENU origin) — required when comparing two tracks, e.g.
+    primary GPS vs ground-truth GNSS."""
     raw = gps_io.read_gps_fixes(path, lon_first=lon_first)
     valid = raw["valid"]
     if valid.sum() == 0:
         raise ValueError(f"no valid GPS fixes in {path}")
-    zone, south = geodesy.utm_zone_from_lonlat(
-        raw["lons"][valid], raw["lats"][valid]
-    )
+    if like is not None:
+        frame = like.frame
+        zone, south = like.utm_zone, like.utm_south
+    else:
+        zone, south = geodesy.utm_zone_from_lonlat(
+            raw["lons"][valid], raw["lats"][valid]
+        )
     dtype = dtype or jnp.float64
     lons = jnp.asarray(raw["lons"], dtype)
     lats = jnp.asarray(raw["lats"], dtype)
@@ -117,10 +142,13 @@ def load_and_project_gps(
         x, y = geodesy.utm_forward(lons, lats, zone, south)
         positions = jnp.stack([x, y, alts], axis=-1)
     elif frame == "enu":
-        first = int(np.argmax(valid))
-        enu_origin = np.array(
-            [raw["lons"][first], raw["lats"][first], raw["alts"][first]]
-        )
+        if like is not None and like.enu_origin is not None:
+            enu_origin = np.asarray(like.enu_origin)
+        else:
+            first = int(np.argmax(valid))
+            enu_origin = np.array(
+                [raw["lons"][first], raw["lats"][first], raw["alts"][first]]
+            )
         positions = geodesy.wgs84_to_enu(
             lons, lats, alts, enu_origin[0], enu_origin[1], enu_origin[2]
         )
@@ -154,25 +182,49 @@ def load_and_project_gps(
     )
 
 
+def estimate_offset(
+    slam: Dict[str, np.ndarray], gps: GPSData, config: FusionConfig
+) -> float:
+    """Clock offset to add to GPS timestamps, per ``config.offset_mode``."""
+    mode = config.offset_mode
+    if mode == "off":
+        return 0.0
+    if mode == "faithful":
+        # The reference's estimator at its call site (EKFGPSSLAM.py:337) —
+        # provably 0.0 on any real input (SURVEY Q1).
+        return alignment.estimate_time_offset(
+            slam["timestamps"],
+            gps.timestamps[gps.valid],
+            config.time_alignment.max_samples_for_corr,
+        )
+    if mode == "xcorr":
+        return alignment.estimate_time_offset_xcorr(
+            slam["timestamps"],
+            slam["positions"],
+            gps.timestamps[gps.valid],
+            gps.positions[gps.valid],
+        )
+    raise ValueError(f"unknown offset_mode {mode!r} (off|faithful|xcorr)")
+
+
 def fuse_arrays(
     slam: Dict[str, np.ndarray],
     gps: GPSData,
     config: FusionConfig = FusionConfig(),
     seed: int = 0,
     dtype=None,
+    gt: Optional[GPSData] = None,
 ) -> FusionResult:
-    """Run the jitted fusion + evaluation on loaded arrays."""
+    """Run the jitted fusion + evaluation on loaded arrays.
+
+    ``gt``: optional independent ground-truth GNSS track (same working frame
+    — load with ``load_and_project_gps(..., like=gps)``); evaluated like the
+    reference's GT flow (EKFGPSSLAM.py:1044-1082)."""
     dtype = dtype or jnp.float64
     slam_times = jnp.asarray(slam["timestamps"], dtype)
     slam_pos = jnp.asarray(slam["positions"], dtype)
     slam_quat = jnp.asarray(slam["quaternions"], dtype)
-    # Clock-offset estimation, faithful to the reference's call site
-    # (EKFGPSSLAM.py:337) — provably 0.0 on any real input (SURVEY Q1).
-    offset = alignment.estimate_time_offset(
-        slam["timestamps"],
-        gps.timestamps[gps.valid],
-        config.time_alignment.max_samples_for_corr,
-    )
+    offset = estimate_offset(slam, gps, config)
     outputs = fusion.fuse_core(
         slam_times,
         slam_pos,
@@ -190,7 +242,32 @@ def fuse_arrays(
             "points or RANSAC consensus too small)"
         )
     ev = fusion.evaluate(slam_times, slam_pos, outputs)
-    return FusionResult(slam=slam, gps=gps, outputs=outputs, evaluation=ev, config=config)
+    gt_ev = gt_al = None
+    if gt is not None:
+        if gt.frame != gps.frame:
+            raise ValueError(
+                f"ground-truth frame {gt.frame!r} != working frame {gps.frame!r}"
+            )
+        gt_ev, gt_al = fusion.evaluate_vs_track(
+            slam_times,
+            slam_pos,
+            outputs,
+            jnp.asarray(gt.timestamps, dtype),
+            jnp.asarray(gt.positions, dtype),
+            jnp.asarray(gt.valid),
+            cfg=config,
+        )
+    return FusionResult(
+        slam=slam,
+        gps=gps,
+        outputs=outputs,
+        evaluation=ev,
+        config=config,
+        time_offset=float(offset),
+        gt=gt,
+        gt_evaluation=gt_ev,
+        gt_aligned=gt_al,
+    )
 
 
 def fuse_files(
@@ -200,16 +277,34 @@ def fuse_files(
     frame: str = "utm",
     seed: int = 0,
     dtype=None,
+    gt_path: Optional[str] = None,
+    gt_lon_first: bool = True,
 ) -> FusionResult:
-    """End-to-end: TUM SLAM file + GNSS fix file → fused trajectory."""
-    step(1, 3, f"loading SLAM trajectory {slam_path}")
+    """End-to-end: TUM SLAM file + GNSS fix file → fused trajectory.
+
+    ``gt_path``: optional ground-truth GNSS file; loaded lon-first by
+    default (the shipped `5.1Kitti04gps` header convention, SURVEY Q4) and
+    projected into the SAME frame as the primary GPS."""
+    n_steps = 4 if gt_path else 3
+    step(1, n_steps, f"loading SLAM trajectory {slam_path}")
     slam = tum_io.read_tum(slam_path)
-    step(2, 3, f"loading + projecting + gating GNSS {gps_path} ({frame})")
+    step(2, n_steps, f"loading + projecting + gating GNSS {gps_path} ({frame})")
     gps = load_and_project_gps(
         gps_path, config.gps_filtering_ransac, frame=frame, seed=seed, dtype=dtype
     )
-    step(3, 3, "device fusion (align + Sim3 RANSAC + EKF/RTS) + evaluation")
-    result = fuse_arrays(slam, gps, config=config, seed=seed, dtype=dtype)
+    gt = None
+    if gt_path:
+        step(3, n_steps, f"loading ground-truth GNSS {gt_path}")
+        gt = load_and_project_gps(
+            gt_path,
+            config.ground_truth_gps_filtering,
+            lon_first=gt_lon_first,
+            seed=seed,
+            dtype=dtype,
+            like=gps,
+        )
+    step(n_steps, n_steps, "device fusion (align + Sim3 RANSAC + EKF/RTS) + evaluation")
+    result = fuse_arrays(slam, gps, config=config, seed=seed, dtype=dtype, gt=gt)
     get_logger().info("fusion done: %s", result.summary().replace("\n", " | "))
     return result
 

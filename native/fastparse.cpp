@@ -74,6 +74,10 @@ int fastparse_table(const char* path, double* values, int64_t* n_rows,
   int64_t rows = 0;
   int64_t cols = *n_cols;  // 0 = infer from first row
   bool counting = (values == nullptr);
+  // On the fill call, *n_rows is the caller's buffer capacity (set by the
+  // sizing call). The file may have grown between the two calls (e.g. an
+  // actively-appended log); never write past the buffer — error out instead.
+  int64_t capacity = counting ? 0 : *n_rows;
   int rc = 0;
 
   while (p < end) {
@@ -89,6 +93,10 @@ int fastparse_table(const char* path, double* values, int64_t* n_rows,
       continue;
     }
     // Parse one row.
+    if (!counting && rows >= capacity) {  // file grew since the sizing call
+      rc = -6;
+      goto done;
+    }
     int64_t c = 0;
     while (p < end && *p != '\n') {
       double v;

@@ -194,3 +194,21 @@ def test_sim3_window_mask_skips_to_all_when_first_run_short():
         alignment.sim3_window_mask(jnp.asarray(slam_t), jnp.asarray(valid), 5.0, 180.0, 4)
     )
     np.testing.assert_array_equal(m, valid)
+
+
+def test_sim3_window_mask_gap_excludes_boundary_point():
+    # Regression for ADVICE r1 (medium): the reference slices
+    # valid_indices[:first_gap_idx] (EKFGPSSLAM.py:982-984) — the valid point
+    # ON the gap boundary is excluded from the first segment.
+    slam_t = np.arange(0.0, 101.0)  # 1 s spacing
+    valid = np.zeros(101, bool)
+    valid[:30] = True   # first segment: indices 0..29 (gap diff index 29)
+    valid[60:] = True   # second segment after a 31 s gap
+    m = np.asarray(
+        alignment.sim3_window_mask(
+            jnp.asarray(slam_t), jnp.asarray(valid), 5.0, 180.0, 4
+        )
+    )
+    expected = np.zeros(101, bool)
+    expected[:29] = True  # reference excludes index 29 (the boundary point)
+    np.testing.assert_array_equal(m, expected)

@@ -139,3 +139,21 @@ def test_ground_truth_gnss_path(golden):
     )
     st = metrics.error_stats(errs, gate)
     assert abs(float(st.rmse) - 0.173) < 2e-3
+
+
+def test_pipeline_gt_evaluation_matches_baseline():
+    # VERDICT r1 #7: GT evaluation lives in the pipeline (not just the CLI).
+    # BASELINE.md: Sim3 vs GT RMSE 0.084 m, EKF vs GT RMSE 0.173 m.
+    from gps_optimize_slam_tpu import pipeline
+
+    result = pipeline.fuse_files(
+        reference_fixture("yolotum04.txt"),
+        reference_fixture("combined_output.txt"),
+        gt_path=reference_fixture("5.1Kitti04gps"),
+    )
+    assert result.gt is not None and result.gt_evaluation is not None
+    assert result.gt.frame == result.gps.frame
+    assert result.gt.utm_zone == result.gps.utm_zone
+    assert abs(float(result.gt_evaluation.nn_sim3.rmse) - 0.084) < 3e-3
+    assert abs(float(result.gt_evaluation.nn_ekf.rmse) - 0.173) < 3e-3
+    assert "vs GT" in result.summary()

@@ -130,3 +130,33 @@ def test_checkpoint_roundtrip(tmp_path):
     )
     np.testing.assert_array_equal(restored["pos"], state["pos"])
     assert meta == {"note": "round1"}
+
+
+def test_native_parser_rejects_file_growth(tmp_path):
+    # Regression for ADVICE r1 (low): the fill pass must treat the sizing
+    # call's row count as buffer capacity — a file that gained rows between
+    # the two calls returns an error instead of overflowing the buffer.
+    import ctypes
+
+    from gps_optimize_slam_tpu.io import native as native_mod
+
+    if not native_available():
+        pytest.skip("native parser not built")
+    lib = native_mod._get_lib()
+    p = tmp_path / "grow.txt"
+    p.write_text("1 2 3\n4 5 6\n")
+    rows = ctypes.c_int64(0)
+    cols = ctypes.c_int64(0)
+    rc = lib.fastparse_table(str(p).encode(), None, ctypes.byref(rows), ctypes.byref(cols))
+    assert rc == 0 and rows.value == 2 and cols.value == 3
+    # File grows after the sizing call.
+    with p.open("a") as f:
+        f.write("7 8 9\n10 11 12\n")
+    buf = (ctypes.c_double * (rows.value * cols.value))()
+    rc = lib.fastparse_table(
+        str(p).encode(),
+        ctypes.cast(buf, ctypes.POINTER(ctypes.c_double)),
+        ctypes.byref(rows),
+        ctypes.byref(cols),
+    )
+    assert rc == -6

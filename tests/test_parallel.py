@@ -117,3 +117,88 @@ def test_fixture_in_batch_keeps_golden_parity():
     n = len(slam["timestamps"])
     diff = np.abs(np.asarray(out.corrected_pos[0, :n]) - golden["corrected_pos"])
     assert diff.max() < 1e-6
+
+
+def test_non_divisible_batch_shards_and_matches():
+    # VERDICT r1 #4: batch sizes that don't divide the mesh must work —
+    # 11 KITTI-like sequences over 8 devices (batch axis padded internally).
+    assert len(jax.devices()) >= 8
+    slams, gts, gps_list, valids = make_sequences(n_seqs=11, base_n=40)
+    b = pbatch.pad_batch(slams, gts, gps_list, valids)
+    keys = np.asarray(jax.vmap(jax.random.PRNGKey)(jnp.arange(11)))
+    mesh = pmesh.make_mesh(n_devices=8)
+    sharded = pmesh.fuse_batch(b, keys, mesh=mesh, dtype=jnp.float64)
+    assert sharded.corrected_pos.shape[0] == 11
+    plain = pmesh.fuse_batch(b, keys, dtype=jnp.float64)
+    np.testing.assert_allclose(
+        np.asarray(sharded.corrected_pos), np.asarray(plain.corrected_pos), atol=1e-12
+    )
+    assert np.asarray(sharded.ok).all()
+
+
+def test_fuse_batch_hermetic_to_mesh_devices():
+    # VERDICT r1 #1: the sharded path must never dispatch on the DEFAULT
+    # backend. Build a mesh that excludes device 0 (the default device) and
+    # assert no new array materialises there during the whole run.
+    devices = jax.devices()
+    assert len(devices) >= 8
+    mesh_devs = devices[1:5]
+    mesh = pmesh.make_mesh(devices=mesh_devs)
+
+    slams, gts, gps_list, valids = make_sequences(n_seqs=4, base_n=40)
+    b = pbatch.pad_batch(slams, gts, gps_list, valids)
+    with jax.default_device(mesh_devs[0]):
+        keys = np.asarray(jax.vmap(jax.random.PRNGKey)(jnp.arange(4)))
+
+    import gc
+
+    gc.collect()
+    before = {id(a) for a in jax.live_arrays()}
+    out = pmesh.fuse_batch(b, keys, mesh=mesh, dtype=jnp.float64)
+    jax.block_until_ready(out.corrected_pos)
+    ev = pmesh.evaluate_batch(b, out)
+    jax.block_until_ready(ev.nn_ekf.rmse)
+    offenders = [
+        a
+        for a in jax.live_arrays()
+        if id(a) not in before and any(d == devices[0] for d in a.devices())
+    ]
+    assert not offenders, (
+        f"{len(offenders)} arrays materialised on the default device "
+        f"{devices[0]} during a mesh-sharded run"
+    )
+    assert np.asarray(out.ok).all()
+
+
+def test_dryrun_multichip_entrypoint():
+    # The driver artifact path itself: must pass on the virtual CPU mesh.
+    import sys, os
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    try:
+        import __graft_entry__ as ge
+
+        ge.dryrun_multichip(8)
+    finally:
+        sys.path.pop(0)
+
+
+def test_fuse_batch_time_offsets():
+    # VERDICT r1 #6: per-sequence clock offsets must flow through the
+    # batched path. Shift one sequence's GPS clock and pass the correcting
+    # offset — results must match the unshifted run.
+    slams, gts, gps_list, valids = make_sequences(n_seqs=2, base_n=60)
+    keys = np.asarray(jax.vmap(jax.random.PRNGKey)(jnp.arange(2)))
+    base = pmesh.fuse_batch(
+        pbatch.pad_batch(slams, gts, gps_list, valids), keys, dtype=jnp.float64
+    )
+    shifted_gts = [gts[0] + 2.0, gts[1]]
+    out = pmesh.fuse_batch(
+        pbatch.pad_batch(slams, shifted_gts, gps_list, valids),
+        keys,
+        dtype=jnp.float64,
+        time_offsets=np.array([-2.0, 0.0]),
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.corrected_pos), np.asarray(base.corrected_pos), atol=1e-9
+    )

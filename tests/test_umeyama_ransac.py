@@ -239,3 +239,67 @@ def test_gps_ransac_disabled_passthrough():
         jax.random.PRNGKey(0), jnp.zeros(3), jnp.zeros((3, 3)), valid=valid, cfg=cfg
     )
     np.testing.assert_array_equal(np.asarray(out), [True, False, True])
+
+
+def sklearn_global_filter_oracle(times, positions, cfg: GPSFilterConfig, seed=0):
+    """sklearn mirror of the reference's GLOBAL (non-sliding) filter
+    (EKFGPSSLAM.py:150-183): per-axis RANSAC over all points, AND of the
+    three axis masks; on failure keep everything."""
+    from sklearn.linear_model import RANSACRegressor
+    from sklearn.preprocessing import PolynomialFeatures
+    from sklearn.pipeline import make_pipeline
+
+    np.random.seed(seed)
+    tw = times.reshape(-1, 1)
+    masks = []
+    try:
+        for d in range(3):
+            model = make_pipeline(
+                PolynomialFeatures(degree=cfg.polynomial_degree),
+                RANSACRegressor(
+                    min_samples=cfg.min_samples,
+                    residual_threshold=cfg.residual_threshold_meters,
+                    max_trials=cfg.max_trials,
+                ),
+            )
+            model.fit(tw, positions[:, d])
+            masks.append(model[-1].inlier_mask_)
+        return np.logical_and.reduce(masks)
+    except Exception:
+        return np.ones(len(times), bool)
+
+
+def test_gps_ransac_global_mode_rejects_gross_outliers():
+    # Regression for ADVICE r1 (high): global mode was a silent no-op — the
+    # -inf sentinel start failed the isfinite window gate, so 200 m spikes
+    # passed straight through. Global mode must now AND per-axis masks over
+    # the whole track like the reference (EKFGPSSLAM.py:150-183).
+    rng = np.random.default_rng(7)
+    t = np.arange(0.0, 40.0, 0.1)
+    n = len(t)
+    pos = np.stack([2.5 * t, -1.5 * t + 0.02 * t**2, 0.05 * t], -1)
+    pos += rng.normal(size=(n, 3)) * 0.2
+    bad = rng.choice(n, 10, replace=False)
+    pos[bad] += 200.0  # gross spikes
+
+    cfg = GPSFilterConfig(use_sliding_window=False)
+    ours = np.asarray(
+        ransac.gps_poly_ransac_mask(
+            jax.random.PRNGKey(0), jnp.asarray(t), jnp.asarray(pos), cfg=cfg
+        )
+    )
+    assert not ours[bad].any(), "gross outliers must be rejected in global mode"
+    oracle = sklearn_global_filter_oracle(t, pos, cfg)
+    np.testing.assert_array_equal(ours, oracle)
+
+
+def test_gps_ransac_global_mode_keeps_all_when_clean():
+    t = np.arange(0.0, 30.0, 0.1)
+    pos = np.stack([1.0 * t, 2.0 * t, 0.1 * t], -1)
+    cfg = GPSFilterConfig(use_sliding_window=False)
+    ours = np.asarray(
+        ransac.gps_poly_ransac_mask(
+            jax.random.PRNGKey(1), jnp.asarray(t), jnp.asarray(pos), cfg=cfg
+        )
+    )
+    assert ours.all()
