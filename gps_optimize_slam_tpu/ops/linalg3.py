@@ -85,72 +85,140 @@ def svd3x3(H: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     are completed by cross products — their sign may differ from LAPACK's,
     which is exactly the ambiguity the Umeyama/Kabsch det-correction
     absorbs (paired sign flips of (uᵢ, vᵢ) leave the SVD valid).
+
+    LAYOUT: internally the matrices live as 18 structure-of-arrays column
+    components (each column a 3-tuple of (...) arrays) — batched (B,3,3)
+    arrays put the matrix in the minor dims, where TPU tiling pads 3 lanes
+    to 128 and every rotation becomes a padded matmul (measured: 16.8 ms
+    for the vmapped thousand-trial RANSAC's SVDs; SoA form ~1 ms). Every
+    operation below is a fully lane-packed (B,)-elementwise multiply-add.
     """
     import jax
 
     dtype = H.dtype
     eps = jnp.asarray(jnp.finfo(dtype).eps, dtype)
+    tiny = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
 
-    def one_sweep(_, AV):
-        A, V = AV
-        for p, q in ((0, 1), (0, 2), (1, 2)):
-            ap = A[..., :, p]
-            aq = A[..., :, q]
-            alpha = jnp.sum(ap * ap, axis=-1)
-            beta = jnp.sum(aq * aq, axis=-1)
-            gamma = jnp.sum(ap * aq, axis=-1)
-            c, s = _rotation(alpha, beta, gamma, eps)
-            G = jnp.broadcast_to(jnp.eye(3, dtype=dtype), H.shape)
-            G = G.at[..., p, p].set(c)
-            G = G.at[..., q, q].set(c)
-            G = G.at[..., p, q].set(s)
-            G = G.at[..., q, p].set(-s)
-            A = A @ G
-            V = V @ G
-        return A, V
+    # Columns as 3-tuples of (...) arrays.
+    cols = [tuple(H[..., r, c] for r in range(3)) for c in range(3)]
+    one = jnp.ones_like(cols[0][0])
+    zero = jnp.zeros_like(one)
+    vcols = [
+        (one, zero, zero),
+        (zero, one, zero),
+        (zero, zero, one),
+    ]
+
+    def _dot(a, b):
+        return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+    def _rot_pair(cp, cq):
+        """Rotate a column pair to mutual orthogonality; returns (c, s)."""
+        alpha = _dot(cp, cp)
+        beta = _dot(cq, cq)
+        gamma = _dot(cp, cq)
+        return _rotation(alpha, beta, gamma, eps)
+
+    def _apply(cp, cq, c, s):
+        new_p = tuple(c * x - s * y for x, y in zip(cp, cq))
+        new_q = tuple(s * x + c * y for x, y in zip(cp, cq))
+        return new_p, new_q
+
+    def one_sweep(_, carry):
+        a0, a1, a2, v0, v1, v2 = carry
+        c, s = _rot_pair(a0, a1)
+        a0, a1 = _apply(a0, a1, c, s)
+        v0, v1 = _apply(v0, v1, c, s)
+        c, s = _rot_pair(a0, a2)
+        a0, a2 = _apply(a0, a2, c, s)
+        v0, v2 = _apply(v0, v2, c, s)
+        c, s = _rot_pair(a1, a2)
+        a1, a2 = _apply(a1, a2, c, s)
+        v1, v2 = _apply(v1, v2, c, s)
+        return (a0, a1, a2, v0, v1, v2)
 
     # fori_loop keeps the traced program one sweep long (the unrolled form
     # ballooned TPU compile time inside vmapped RANSAC).
-    A, V = jax.lax.fori_loop(
+    a0, a1, a2, v0, v1, v2 = jax.lax.fori_loop(
         0,
         _JACOBI_SWEEPS,
         one_sweep,
-        (H, jnp.broadcast_to(jnp.eye(3, dtype=dtype), H.shape)),
+        (cols[0], cols[1], cols[2], vcols[0], vcols[1], vcols[2]),
     )
 
-    S = jnp.linalg.norm(A, axis=-2)  # column norms
-    order = jnp.argsort(-S, axis=-1)
-    S = jnp.take_along_axis(S, order, axis=-1)
-    A = jnp.take_along_axis(A, order[..., None, :], axis=-1)
-    V = jnp.take_along_axis(V, order[..., None, :], axis=-1)
+    # Sort columns by descending norm with a 3-element compare-swap network
+    # (no gathers).
+    s0 = jnp.sqrt(_dot(a0, a0))
+    s1 = jnp.sqrt(_dot(a1, a1))
+    s2 = jnp.sqrt(_dot(a2, a2))
+
+    def _cswap(sa, sb, ca, cb, va, vb):
+        swap = sb > sa
+        sa2 = jnp.where(swap, sb, sa)
+        sb2 = jnp.where(swap, sa, sb)
+        ca2 = tuple(jnp.where(swap, y, x) for x, y in zip(ca, cb))
+        cb2 = tuple(jnp.where(swap, x, y) for x, y in zip(ca, cb))
+        va2 = tuple(jnp.where(swap, y, x) for x, y in zip(va, vb))
+        vb2 = tuple(jnp.where(swap, x, y) for x, y in zip(va, vb))
+        return sa2, sb2, ca2, cb2, va2, vb2
+
+    s0, s1, a0, a1, v0, v1 = _cswap(s0, s1, a0, a1, v0, v1)
+    s1, s2, a1, a2, v1, v2 = _cswap(s1, s2, a1, a2, v1, v2)
+    s0, s1, a0, a1, v0, v1 = _cswap(s0, s1, a0, a1, v0, v1)
 
     tol = eps * 8.0
-    smax = S[..., 0:1]
-    good = S > (smax * tol + jnp.finfo(dtype).tiny)
+    good0 = s0 > (s0 * tol + tiny)
+    good1 = s1 > (s0 * tol + tiny)
+    good2 = s2 > (s0 * tol + tiny)
 
-    u0 = A[..., :, 0] / jnp.where(good[..., 0:1], S[..., 0:1], 1.0)
-    e0 = jnp.zeros_like(u0).at[..., 0].set(1.0)
-    u0 = jnp.where(good[..., 0:1], u0, e0)
+    u0 = tuple(x / jnp.where(good0, s0, 1.0) for x in a0)
+    u0 = tuple(
+        jnp.where(good0, x, e)
+        for x, e in zip(u0, (jnp.ones_like(s0), zero, zero))
+    )
 
-    u1_raw = A[..., :, 1] / jnp.where(good[..., 1:2], S[..., 1:2], 1.0)
-    u1_raw = u1_raw - jnp.sum(u1_raw * u0, axis=-1, keepdims=True) * u0
-    n1 = jnp.linalg.norm(u1_raw, axis=-1, keepdims=True)
-    alt = jnp.cross(u0, jnp.zeros_like(u0).at[..., 1].set(1.0))
-    alt_n = jnp.linalg.norm(alt, axis=-1, keepdims=True)
-    alt2 = jnp.cross(u0, jnp.zeros_like(u0).at[..., 2].set(1.0))
-    alt = jnp.where(alt_n > 0.1, alt, alt2)
-    alt = alt / jnp.linalg.norm(alt, axis=-1, keepdims=True)
-    ok1 = good[..., 1:2] & (n1 > tol)
-    u1 = jnp.where(ok1, u1_raw / jnp.where(ok1, n1, 1.0), alt)
+    def _cross(a, b):
+        return (
+            a[1] * b[2] - a[2] * b[1],
+            a[2] * b[0] - a[0] * b[2],
+            a[0] * b[1] - a[1] * b[0],
+        )
 
-    u2 = jnp.cross(u0, u1)
-    u2 = u2 / jnp.linalg.norm(u2, axis=-1, keepdims=True)
+    def _norm(a):
+        return jnp.sqrt(_dot(a, a))
+
+    u1_raw = tuple(x / jnp.where(good1, s1, 1.0) for x in a1)
+    proj = _dot(u1_raw, u0)
+    u1_raw = tuple(x - proj * y for x, y in zip(u1_raw, u0))
+    n1 = _norm(u1_raw)
+    alt = _cross(u0, (zero, jnp.ones_like(s0), zero))
+    alt_n = _norm(alt)
+    alt2 = _cross(u0, (zero, zero, jnp.ones_like(s0)))
+    use_alt = alt_n > 0.1
+    alt = tuple(jnp.where(use_alt, x, y) for x, y in zip(alt, alt2))
+    alt_nn = _norm(alt)
+    alt = tuple(x / alt_nn for x in alt)
+    ok1 = good1 & (n1 > tol)
+    n1_safe = jnp.where(ok1, n1, 1.0)
+    u1 = tuple(jnp.where(ok1, x / n1_safe, y) for x, y in zip(u1_raw, alt))
+
+    u2 = _cross(u0, u1)
+    n2 = _norm(u2)
+    u2 = tuple(x / n2 for x in u2)
     # When σ₃ is significant, match the cross-product's sign to H's actual
     # action (A's third column) so H = U·S·Vt holds exactly; when σ₃ ~ 0 the
     # sign is arbitrary (absorbed downstream by the det correction).
-    dot2 = jnp.sum(u2 * A[..., :, 2], axis=-1, keepdims=True)
-    sign2 = jnp.where(good[..., 2:3] & (dot2 < 0), -1.0, 1.0)
-    u2 = u2 * sign2
+    dot2 = _dot(u2, a2)
+    sign2 = jnp.where(good2 & (dot2 < 0), -1.0, 1.0)
+    u2 = tuple(x * sign2 for x in u2)
 
-    U = jnp.stack([u0, u1, u2], axis=-1)
-    return U, S, jnp.swapaxes(V, -1, -2)
+    U = jnp.stack(
+        [jnp.stack(u0, axis=-1), jnp.stack(u1, axis=-1), jnp.stack(u2, axis=-1)],
+        axis=-1,
+    )
+    S = jnp.stack([s0, s1, s2], axis=-1)
+    Vt = jnp.stack(
+        [jnp.stack(v0, axis=-1), jnp.stack(v1, axis=-1), jnp.stack(v2, axis=-1)],
+        axis=-2,
+    )
+    return U, S, Vt

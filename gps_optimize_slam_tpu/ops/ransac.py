@@ -35,7 +35,7 @@ import jax.numpy as jnp
 
 from gps_optimize_slam_tpu.config import GPSFilterConfig, Sim3RansacConfig
 from gps_optimize_slam_tpu.utils.precision import highp
-from gps_optimize_slam_tpu.ops.umeyama import Sim3, sim3_residuals, umeyama_sim3
+from gps_optimize_slam_tpu.ops.umeyama import Sim3, umeyama_sim3
 
 
 def _sample_without_replacement(key: jax.Array, valid: jnp.ndarray, k: int):
@@ -82,22 +82,31 @@ def sim3_ransac(
     # degenerate trial that loses the consensus vote — converged results
     # are unchanged (and seed-independence is tested).
     order = jnp.argsort(jnp.where(valid, 0, 1), stable=True)
+    thr2 = cfg.residual_threshold**2
 
-    def trial(k):
+    def trial_fit(k):
         r = jax.random.randint(
             k, (cfg.min_samples,), 0, jnp.maximum(n_valid, 1)
         )
         idx = order[r]
-        fit = umeyama_sim3(src[idx], dst[idx])
-        res = sim3_residuals(src, dst, fit)
-        inl = (res < cfg.residual_threshold) & valid
-        count = jnp.where(fit.ok, jnp.sum(inl), -1)
-        return count, inl
+        return umeyama_sim3(src[idx], dst[idx])
 
+    def trial_mask(fit):
+        # Squared-distance compare (no sqrt pass over trials×points).
+        pred = fit.scale * (src @ fit.R.T) + fit.t
+        res2 = jnp.sum((pred - dst) ** 2, axis=-1)
+        return (res2 < thr2) & valid
+
+    def trial_count(k):
+        fit = trial_fit(k)
+        return jnp.where(fit.ok, jnp.sum(trial_mask(fit)), -1)
+
+    # Trials return COUNTS only — the (trials × points) inlier matrix never
+    # materialises in HBM; the winner's mask is recomputed from its key.
     keys = jax.random.split(key, cfg.max_trials)
-    counts, inliers = jax.vmap(trial)(keys)
+    counts = jax.vmap(trial_count)(keys)
     best = jnp.argmax(counts)  # first maximum, like the reference's '>'
-    best_mask = inliers[best] & enough
+    best_mask = trial_mask(trial_fit(keys[best])) & enough
     max_inliers = jnp.maximum(counts[best], 0)
 
     ok = enough & (max_inliers >= cfg.min_inliers_needed)

@@ -27,16 +27,30 @@ from gps_optimize_slam_tpu.utils.precision import highp
 
 
 def _mobius_combine(e1, e2):
-    """(later ∘ earlier) 2×2 homogeneous products with normalisation."""
-    m = e2 @ e1
-    scale = jnp.max(jnp.abs(m), axis=(-1, -2), keepdims=True)
-    return m / jnp.maximum(scale, jnp.finfo(m.dtype).tiny)
+    """(later ∘ earlier) 2×2 homogeneous products with normalisation.
+
+    SoA layout: the 2×2 matrix is four separate (n,) components — batched
+    (n,2,2) arrays put the matrix in TPU minor dims where 2 lanes pad to 128
+    (same finding as ops.kalman_parallel / linalg3.svd3x3)."""
+    p00, p01, p10, p11 = e1
+    q00, q01, q10, q11 = e2
+    m00 = q00 * p00 + q01 * p10
+    m01 = q00 * p01 + q01 * p11
+    m10 = q10 * p00 + q11 * p10
+    m11 = q10 * p01 + q11 * p11
+    scale = jnp.maximum(
+        jnp.maximum(jnp.abs(m00), jnp.abs(m01)),
+        jnp.maximum(jnp.abs(m10), jnp.abs(m11)),
+    )
+    inv = 1.0 / jnp.maximum(scale, jnp.finfo(m00.dtype).tiny)
+    return (m00 * inv, m01 * inv, m10 * inv, m11 * inv)
 
 
 def _affine_combine(e1, e2):
+    """Affine composition on (alpha, (beta_0..beta_{k-1})) SoA leaves."""
     a1, b1 = e1
     a2, b2 = e2
-    return a2 * a1, a2 * b1 + b2
+    return a2 * a1, tuple(a2 * x + y for x, y in zip(b1, b2))
 
 
 @highp
@@ -50,28 +64,25 @@ def tridiag_solve(
     n = b.shape[0]
     dtype = b.dtype
 
-    # --- 1. pivots b' via projective prefix products ---
+    # --- 1. pivots b' via projective prefix products (SoA components) ---
     a0 = a.at[0].set(0.0)
     cm1 = jnp.concatenate([jnp.zeros((1,), dtype), c[:-1]])  # c_{i-1}
-    T = jnp.stack(
-        [
-            jnp.stack([b, -a0 * cm1], axis=-1),
-            jnp.stack([jnp.ones((n,), dtype), jnp.zeros((n,), dtype)], axis=-1),
-        ],
-        axis=-2,
-    )  # (n, 2, 2); T_i · [b'_{i-1}, 1]ᵀ ∝ [b'_i, 1]ᵀ
-    P = jax.lax.associative_scan(_mobius_combine, T)
+    # T_i = [[b_i, -a_i·c_{i-1}], [1, 0]]; T_i · [b'_{i-1}, 1]ᵀ ∝ [b'_i, 1]ᵀ
+    T = (b, -a0 * cm1, jnp.ones((n,), dtype), jnp.zeros((n,), dtype))
+    p00, _, p10, _ = jax.lax.associative_scan(_mobius_combine, T)
     # Apply to the initial homogeneous vector [1, 0]ᵀ.
-    bp = P[:, 0, 0] / P[:, 1, 0]
+    bp = p00 / p10
 
-    # --- 2. forward-eliminated RHS d' (affine scan) ---
+    # --- 2. forward-eliminated RHS d' (affine scan, per-column leaves) ---
+    k = d.shape[1]
+    d_cols = tuple(d[:, i] for i in range(k))
     bpm1 = jnp.concatenate([jnp.ones((1,), dtype), bp[:-1]])
-    w = a0 / bpm1
-    alpha = -w[:, None]
-    _, dp = jax.lax.associative_scan(_affine_combine, (alpha, d))
+    alpha = -(a0 / bpm1)
+    _, dp = jax.lax.associative_scan(_affine_combine, (alpha, d_cols))
 
     # --- 3. back substitution (reverse affine scan) ---
-    alpha_b = (-c / bp)[:, None].at[-1].set(0.0)
-    beta_b = dp / bp[:, None]
+    alpha_b = (-c / bp).at[-1].set(0.0)
+    inv_bp = 1.0 / bp
+    beta_b = tuple(x * inv_bp for x in dp)
     _, x = jax.lax.associative_scan(_affine_combine, (alpha_b, beta_b), reverse=True)
-    return x
+    return jnp.stack(x, axis=-1)

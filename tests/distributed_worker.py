@@ -1,0 +1,80 @@
+"""Worker process for the multi-host fusion test (test_distributed.py).
+
+Run as: python distributed_worker.py <coordinator> <num_processes> <process_id>
+
+Each worker joins the process group with 2 virtual CPU devices, fuses a
+5-sequence batch over the GLOBAL (2 processes × 2 devices) mesh, gathers the
+outputs, and checks them against a process-local single-device computation
+of the same batch. Prints PARITY_OK on success.
+"""
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+import os
+
+os.environ.setdefault("JAX_TRACEBACK_FILTERING", "off")
+
+import numpy as np
+
+
+def synth(n, seed):
+    rng = np.random.default_rng(seed)
+    t = np.arange(n) * 0.1
+    yaw = np.cumsum(rng.normal(0.02, 0.01, n))
+    heading = np.stack([np.cos(yaw), np.sin(yaw), np.zeros(n)], -1)
+    pos = np.cumsum(0.3 * heading, axis=0)
+    quat = np.stack([np.zeros(n), np.zeros(n), np.sin(yaw / 2), np.cos(yaw / 2)], -1)
+    m = int(n * 1.1)
+    gt = np.linspace(t[0], t[-1], m)
+    gp = np.stack([np.interp(gt, t, pos[:, k]) for k in range(3)], -1)
+    gp = gp * 1.05 + np.asarray([5.0, -3.0, 1.0]) + rng.normal(size=(m, 3)) * 0.03
+    return {"timestamps": t, "positions": pos, "quaternions": quat}, gt, gp
+
+
+def main():
+    coord, nproc, pid = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+
+    from gps_optimize_slam_tpu.parallel import distributed as dist
+
+    dist.initialize(
+        coord, nproc, pid, local_devices_per_process=2, platform="cpu", timeout_s=60
+    )
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    assert jax.process_count() == nproc, jax.process_count()
+    assert jax.device_count() == 2 * nproc, jax.device_count()
+
+    from gps_optimize_slam_tpu.parallel import batch as pbatch
+    from gps_optimize_slam_tpu.parallel import mesh as pmesh
+
+    # 5 sequences over 4 global devices — exercises batch-axis padding too.
+    slams, gts, gps_list = [], [], []
+    for i in range(5):
+        s, gt, gp = synth(40 + 6 * i, seed=i)
+        slams.append(s)
+        gts.append(gt)
+        gps_list.append(gp)
+    b = pbatch.pad_batch(slams, gts, gps_list)
+    keys = np.stack(
+        [np.asarray(jax.random.PRNGKey(i)) for i in range(len(slams))]
+    )
+
+    out, n_real = dist.fuse_batch_distributed(b, keys)
+    gathered = dist.gather_outputs(out, n_real=n_real)
+    assert gathered.corrected_pos.shape[0] == 5
+    assert bool(np.asarray(gathered.ok).all()), "distributed fusion not ok"
+
+    # Process-local single-mesh reference (first local device only).
+    local_mesh = pmesh.make_mesh(devices=jax.local_devices()[:1])
+    ref = pmesh.fuse_batch(b, keys, mesh=local_mesh)
+    ref_pos = np.asarray(ref.corrected_pos)
+
+    err = np.max(np.abs(gathered.corrected_pos - ref_pos))
+    assert err < 1e-9, f"distributed vs local mismatch: {err}"
+    print(f"PARITY_OK {pid} max_err={err:.3e}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
