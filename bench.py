@@ -137,6 +137,22 @@ def main():
     except Exception as e:  # cross-check is best-effort
         extras["max_dev_vs_f64_m"] = f"unavailable: {type(e).__name__}"
 
+    # Host→device transfer time for the staged inputs (device-time split,
+    # VERDICT r1 #3).
+    host_in = [np.asarray(a) for a in args]
+
+    def put():
+        o = tuple(jax.device_put(a) for a in host_in)
+        jax.block_until_ready(o)
+
+    put()
+    ts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        put()
+        ts.append((time.perf_counter() - t0) * 1e3)
+    transfer_ms = float(np.median(ts))
+
     result = {
         "metric": "kitti04_full_fusion_wall_clock",
         "value": round(wall_ms, 3),
@@ -146,7 +162,10 @@ def main():
         "dtype": str(np.dtype(dtype if dtype != jnp.float64 else np.float64)),
         "poses_per_sec": round(n_poses / (wall_ms / 1e3), 1),
         "baseline_ms": BASELINE_E2E_MS,
+        "device_ms": round(wall_ms, 3),
         "single_dispatch_ms": round(single_dispatch_ms, 3),
+        "dispatch_overhead_ms": round(single_dispatch_ms - wall_ms, 3),
+        "transfer_ms": round(transfer_ms, 3),
         "sim3_scale": round(float(out.sim3.scale), 6),
         **extras,
     }

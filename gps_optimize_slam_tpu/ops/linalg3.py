@@ -80,27 +80,49 @@ def _rotation(alpha, beta, gamma, eps):
 def svd3x3(H: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """SVD of 3×3 matrices: H = U @ diag(S) @ Vt, batched over leading dims.
 
+    Thin packing wrapper over ``svd3x3_soa`` (see there for the algorithm
+    and the TPU layout rationale).
+    """
+    cols = tuple(tuple(H[..., r, c] for r in range(3)) for c in range(3))
+    u0, u1, u2, (s0, s1, s2), v0, v1, v2 = svd3x3_soa(cols)
+    U = jnp.stack(
+        [jnp.stack(u0, axis=-1), jnp.stack(u1, axis=-1), jnp.stack(u2, axis=-1)],
+        axis=-1,
+    )
+    S = jnp.stack([s0, s1, s2], axis=-1)
+    Vt = jnp.stack(
+        [jnp.stack(v0, axis=-1), jnp.stack(v1, axis=-1), jnp.stack(v2, axis=-1)],
+        axis=-2,
+    )
+    return U, S, Vt
+
+
+def svd3x3_soa(cols):
+    """SVD on structure-of-arrays 3×3 matrices.
+
+    ``cols`` is the matrix as 3 columns, each a 3-tuple of (...) arrays.
+    Returns ``(u0, u1, u2, (s0, s1, s2), v0, v1, v2)`` — U and V columns as
+    3-tuples, singular values descending, H = U·diag(S)·Vᵀ.
+
     One-sided Jacobi: right-rotate column pairs of A (=H·V accumulated)
     until mutually orthogonal; then σᵢ=‖aᵢ‖, uᵢ=aᵢ/σᵢ. Near-zero columns
     are completed by cross products — their sign may differ from LAPACK's,
     which is exactly the ambiguity the Umeyama/Kabsch det-correction
     absorbs (paired sign flips of (uᵢ, vᵢ) leave the SVD valid).
 
-    LAYOUT: internally the matrices live as 18 structure-of-arrays column
-    components (each column a 3-tuple of (...) arrays) — batched (B,3,3)
-    arrays put the matrix in the minor dims, where TPU tiling pads 3 lanes
-    to 128 and every rotation becomes a padded matmul (measured: 16.8 ms
-    for the vmapped thousand-trial RANSAC's SVDs; SoA form ~1 ms). Every
-    operation below is a fully lane-packed (B,)-elementwise multiply-add.
+    LAYOUT: everything is 18 structure-of-arrays components — batched
+    (B,3,3) arrays put the matrix in the minor dims, where TPU tiling pads
+    3 lanes to 128 and every rotation becomes a padded matmul (measured:
+    16.8 ms for the vmapped thousand-trial RANSAC's SVDs; SoA form ~1 ms).
+    Every operation below is a fully lane-packed (B,)-elementwise
+    multiply-add.
     """
     import jax
 
-    dtype = H.dtype
+    dtype = cols[0][0].dtype
     eps = jnp.asarray(jnp.finfo(dtype).eps, dtype)
     tiny = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
 
-    # Columns as 3-tuples of (...) arrays.
-    cols = [tuple(H[..., r, c] for r in range(3)) for c in range(3)]
     one = jnp.ones_like(cols[0][0])
     zero = jnp.zeros_like(one)
     vcols = [
@@ -212,13 +234,4 @@ def svd3x3(H: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     sign2 = jnp.where(good2 & (dot2 < 0), -1.0, 1.0)
     u2 = tuple(x * sign2 for x in u2)
 
-    U = jnp.stack(
-        [jnp.stack(u0, axis=-1), jnp.stack(u1, axis=-1), jnp.stack(u2, axis=-1)],
-        axis=-1,
-    )
-    S = jnp.stack([s0, s1, s2], axis=-1)
-    Vt = jnp.stack(
-        [jnp.stack(v0, axis=-1), jnp.stack(v1, axis=-1), jnp.stack(v2, axis=-1)],
-        axis=-2,
-    )
-    return U, S, Vt
+    return u0, u1, u2, (s0, s1, s2), v0, v1, v2

@@ -19,7 +19,7 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from gps_optimize_slam_tpu.ops.linalg3 import svd3x3
+from gps_optimize_slam_tpu.ops.linalg3 import svd3x3_soa
 from gps_optimize_slam_tpu.utils.precision import highp
 
 
@@ -59,27 +59,64 @@ def umeyama_sim3(
     src_c = src - src_centroid
     dst_c = dst - dst_centroid
 
-    # H = Σ w · src_cᵀ dst_c  (3×3) — one small matmul.
-    H = (w[:, None] * src_c).T @ dst_c
+    # Everything 3×3 below runs on structure-of-arrays scalar components —
+    # batched (B,3,3) matmuls pad 3 TPU lanes to 128 and dominated the
+    # vmapped RANSAC trial fits (see ops/linalg3.py).
+    ws = w[:, None] * src_c
+    # H = Σ w · src_cᵀ dst_c, as 3 columns of 3 components each.
+    H_cols = tuple(
+        tuple(jnp.sum(ws[..., i] * dst_c[..., j], axis=-1) for i in range(3))
+        for j in range(3)
+    )
     # Framework-owned one-sided-Jacobi SVD: float32-robust on TPU where
     # XLA's general SVD loses precision on ill-conditioned 3×3 inputs
     # (see ops/linalg3.py), and far cheaper when vmapped over RANSAC trials.
-    U, S, Vt = svd3x3(H)
-    R = Vt.T @ U.T
-    det = jnp.linalg.det(R)
-    # Reflection fix: flip the last row of Vt when det < 0
+    u0, u1, u2, (s0, s1, s2), v0, v1, v2 = svd3x3_soa(H_cols)
+
+    def _r_components(v2_sign):
+        # R = V_fixed @ Uᵀ with the reflection sign applied to V's column 2:
+        # R[i][j] = v0[i]·u0[j] + v1[i]·u1[j] + sign·v2[i]·u2[j].
+        return tuple(
+            tuple(
+                v0[i] * u0[j] + v1[i] * u1[j] + v2_sign * v2[i] * u2[j]
+                for j in range(3)
+            )
+            for i in range(3)
+        )
+
+    one = jnp.ones_like(s0)
+    r = _r_components(one)
+    det = (
+        r[0][0] * (r[1][1] * r[2][2] - r[1][2] * r[2][1])
+        - r[0][1] * (r[1][0] * r[2][2] - r[1][2] * r[2][0])
+        + r[0][2] * (r[1][0] * r[2][1] - r[1][1] * r[2][0])
+    )
+    # Reflection fix: flip the last row of Vt (= V's column 2) when det < 0
     # (reference: EKFGPSSLAM.py:441-442).
-    Vt_fixed = Vt.at[-1, :].multiply(jnp.where(det < 0, -1.0, 1.0))
-    R = Vt_fixed.T @ U.T
+    sign = jnp.where(det < 0, -one, one)
+    r = _r_components(sign)
 
     var_src = jnp.sum(w * jnp.sum(src_c**2, axis=-1)) / safe_wsum
     # Q2: d = [1,1,det(R)] with det(R)=+1 after the fix ⇒ plain trace.
-    trace_S = jnp.sum(S)
+    trace_S = s0 + s1 + s2
     raw_scale = trace_S / (n_eff * jnp.where(var_src > 0, var_src, 1.0))
     scale = jnp.where(var_src < 1e-12, 1.0, raw_scale)
     scale = jnp.where(scale <= 1e-6, 1.0, scale)
 
-    t = dst_centroid - scale * (R @ src_centroid)
+    t = jnp.stack(
+        [
+            dst_centroid[..., i]
+            - scale
+            * (
+                r[i][0] * src_centroid[..., 0]
+                + r[i][1] * src_centroid[..., 1]
+                + r[i][2] * src_centroid[..., 2]
+            )
+            for i in range(3)
+        ],
+        axis=-1,
+    )
+    R = jnp.stack([jnp.stack(row, axis=-1) for row in r], axis=-2)
     ok = n_eff >= 3
     return Sim3(R=R, t=t, scale=scale, ok=ok)
 
