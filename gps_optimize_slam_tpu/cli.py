@@ -6,7 +6,7 @@ Replaces the reference's tkinter dialog flow (EKFGPSSLAM.py:669-674,
     python -m gps_optimize_slam_tpu fuse SLAM.tum GPS.txt [-o OUT] [--gt GT]
         [--frame utm|enu] [--plot out.png] [--json] [--config cfg.json]
         [--rts-mode outage|full] [--ekf-scan auto|sequential|parallel]
-        [--estimate-offset off|faithful|xcorr] [--meas-noise SX SY SZ]
+        [--estimate-offset off|faithful|xcorr|xcorr_device] [--meas-noise SX SY SZ]
         [--no-gps-filter]
     python -m gps_optimize_slam_tpu kitti2tum POSES TIMES OUT
     python -m gps_optimize_slam_tpu oxts-extract OXTS_DIR [-o OUT]
@@ -180,9 +180,10 @@ def build_parser() -> argparse.ArgumentParser:
     )
     f.add_argument(
         "--estimate-offset",
-        choices=["off", "faithful", "xcorr"],
+        choices=["off", "faithful", "xcorr", "xcorr_device"],
         help="clock-offset estimator (faithful = reference no-op, "
-        "xcorr = functional speed-profile correlation)",
+        "xcorr = functional speed-profile correlation, "
+        "xcorr_device = same on-device via FFT)",
     )
     f.add_argument(
         "--meas-noise",

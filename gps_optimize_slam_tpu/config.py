@@ -99,7 +99,10 @@ class FusionConfig:
     #              real inputs (SURVEY Q1, EKFGPSSLAM.py:301-323);
     # "off"      — skip estimation (offset 0);
     # "xcorr"    — functional speed-profile cross-correlation (extension)
-    #              that actually recovers real clock offsets.
+    #              that actually recovers real clock offsets;
+    # "xcorr_device" — the same estimator ON DEVICE (FFT circular
+    #              cross-correlation, ops.alignment.estimate_time_offset_
+    #              xcorr_device) — vmappable for batched/sharded sequences.
     offset_mode: str = "faithful"
 
     def replace(self, **kwargs) -> "FusionConfig":

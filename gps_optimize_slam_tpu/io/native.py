@@ -62,6 +62,14 @@ def _get_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int64),
         ]
         lib.fastparse_table.restype = ctypes.c_int
+        if hasattr(lib, "fastparse_oxts_dir"):
+            lib.fastparse_oxts_dir.argtypes = [
+                ctypes.c_char_p,
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int64,
+            ]
+            lib.fastparse_oxts_dir.restype = ctypes.c_int
         _lib = lib
     except OSError:
         _lib = None
@@ -70,6 +78,38 @@ def _get_lib() -> Optional[ctypes.CDLL]:
 
 def native_available() -> bool:
     return _get_lib() is not None
+
+
+def oxts_scan(data_dir: str, max_frames: int) -> Optional[np.ndarray]:
+    """Native scan of a KITTI oxts ``data/`` folder (one C call for the
+    whole directory instead of one np.loadtxt per frame file).
+
+    Returns an (n_rows, 6) array of
+    ``[frame_idx, lat, lon, alt, numsats, velmode]`` rows, or None when the
+    native library is unavailable (caller falls back to the Python loop).
+    Missing frame files are skipped, matching the Python behaviour."""
+    lib = _get_lib()
+    if lib is None or not hasattr(lib, "fastparse_oxts_dir"):
+        return None
+    rows = ctypes.c_int64(0)
+    rc = lib.fastparse_oxts_dir(
+        data_dir.encode(), None, ctypes.byref(rows), max_frames
+    )
+    if rc != 0:
+        raise ValueError(f"fastparse_oxts_dir({data_dir}): {_ERRORS.get(rc, rc)}")
+    out = np.empty((rows.value, 6), dtype=np.float64)
+    if rows.value:
+        rc = lib.fastparse_oxts_dir(
+            data_dir.encode(),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            ctypes.byref(rows),
+            max_frames,
+        )
+        if rc != 0:
+            raise ValueError(
+                f"fastparse_oxts_dir({data_dir}): {_ERRORS.get(rc, rc)}"
+            )
+    return out
 
 
 def loadtxt(path: str) -> np.ndarray:

@@ -67,21 +67,35 @@ def extract_oxts(
         raise ValueError(f"oxts data folder not found: {data_dir}")
 
     times = parse_oxts_timestamps(ts_path, time_offset, cumulative_offset)
-    rows = []
-    kept_times = []
-    for idx, t in enumerate(times):
-        f = os.path.join(data_dir, f"{idx:010d}.txt")
-        if not os.path.exists(f):
-            continue
-        d = np.loadtxt(f)
-        if d.ndim == 1:
-            d = d[None, :]
-        for r in d:
-            rows.append((r[0], r[1], r[2], int(r[25]), int(r[27])))
-            kept_times.append(t)
-    if not rows:
-        raise ValueError(f"no oxts data rows found under {data_dir}")
-    arr = np.asarray(rows, dtype=float)
+
+    native_rows = None
+    try:
+        from gps_optimize_slam_tpu.io import native
+
+        native_rows = native.oxts_scan(data_dir, len(times))
+    except ValueError:
+        native_rows = None  # malformed file: fall back to the Python loop
+
+    if native_rows is not None and len(native_rows):
+        arr = native_rows[:, 1:]
+        kept_times = times[native_rows[:, 0].astype(int)]
+    else:
+        rows = []
+        kept_times = []
+        for idx, t in enumerate(times):
+            f = os.path.join(data_dir, f"{idx:010d}.txt")
+            if not os.path.exists(f):
+                continue
+            d = np.loadtxt(f)
+            if d.ndim == 1:
+                d = d[None, :]
+            for r in d:
+                rows.append((r[0], r[1], r[2], int(r[25]), int(r[27])))
+                kept_times.append(t)
+        if not rows:
+            raise ValueError(f"no oxts data rows found under {data_dir}")
+        arr = np.asarray(rows, dtype=float)
+        kept_times = np.asarray(kept_times)
     out = {
         "timestamps": np.asarray(kept_times),
         "lats": arr[:, 0],

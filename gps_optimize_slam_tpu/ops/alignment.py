@@ -130,6 +130,90 @@ def estimate_time_offset_xcorr(
     return float(-best * grid_dt)
 
 
+@highp
+def estimate_time_offset_xcorr_device(
+    slam_times: jnp.ndarray,
+    slam_positions: jnp.ndarray,
+    gps_times: jnp.ndarray,
+    gps_positions: jnp.ndarray,
+    slam_mask: Optional[jnp.ndarray] = None,
+    gps_valid: Optional[jnp.ndarray] = None,
+    max_lag_seconds: float = 10.0,
+    n_grid: int = 4096,
+) -> jnp.ndarray:
+    """ON-DEVICE clock-offset estimation: FFT circular cross-correlation of
+    the two z-scored speed profiles (the jittable counterpart of
+    ``estimate_time_offset_xcorr`` — VERDICT r1 task 10, so batched/sharded
+    sequences can estimate offsets inside the device program via vmap).
+
+    Static shapes: the uniform resampling grid has a FIXED ``n_grid`` length
+    spanning [min_t − max_lag, max_t + max_lag] (the host version's grid
+    step is a fixed 0.05 s, so its lag resolution is constant while this
+    one's scales with trajectory duration — both recover real offsets to
+    one grid cell). Invalid/padded samples are masked out exactly like the
+    host version drops them. Returns the offset to ADD to GPS timestamps.
+    """
+    dtype = jnp.result_type(slam_times.dtype, jnp.float32)
+    if slam_mask is None:
+        slam_mask = jnp.ones(slam_times.shape, bool)
+    if gps_valid is None:
+        gps_valid = jnp.ones(gps_times.shape, bool)
+
+    def speeds(t, p, m):
+        t = t.astype(dtype)
+        p = p.astype(dtype)
+        dt = t[1:] - t[:-1]
+        ok = (dt > 1e-9) & m[1:] & m[:-1]
+        v = jnp.linalg.norm(p[1:] - p[:-1], axis=-1) / jnp.where(ok, dt, 1.0)
+        tm = (t[1:] + t[:-1]) / 2.0
+        # Compact valid samples to the front; +inf-pad the tail so jnp.interp
+        # sees an increasing xp (pad fp repeats the last valid value; points
+        # right of the last REAL midpoint are zeroed explicitly below).
+        order = jnp.argsort(jnp.where(ok, tm, jnp.inf))
+        tm_c = jnp.where(ok[order], tm[order], jnp.inf)
+        v_c = jnp.where(ok[order], v[order], 0.0)
+        n_ok = jnp.sum(ok)
+        last_t = tm_c[jnp.clip(n_ok - 1, 0, tm.shape[0] - 1)]
+        first_t = tm_c[0]
+        # Repeat the last valid value into the +inf padding.
+        last_v = v_c[jnp.clip(n_ok - 1, 0, tm.shape[0] - 1)]
+        v_c = jnp.where(jnp.arange(tm.shape[0]) < n_ok, v_c, last_v)
+        return tm_c, v_c, first_t, last_t, n_ok
+
+    ts, vs, s_first, s_last, s_n = speeds(slam_times, slam_positions, slam_mask)
+    tg, vg, g_first, g_last, g_n = speeds(gps_times, gps_positions, gps_valid)
+
+    lo = jnp.minimum(s_first, g_first) - max_lag_seconds
+    hi = jnp.maximum(s_last, g_last) + max_lag_seconds
+    span = jnp.maximum(hi - lo, 1e-6)
+    dt_g = span / n_grid
+    grid = lo + dt_g * jnp.arange(n_grid, dtype=dtype)
+
+    def resample(grid, t_c, v_c, first_t, last_t):
+        y = jnp.interp(grid, t_c, v_c)
+        return jnp.where((grid < first_t) | (grid > last_t), 0.0, y)
+
+    a = resample(grid, ts, vs, s_first, s_last)
+    b = resample(grid, tg, vg, g_first, g_last)
+
+    def z(x):
+        mu = jnp.mean(x)
+        sd = jnp.std(x)
+        return (x - mu) / jnp.where(sd > 1e-12, sd, 1.0)
+
+    a, b = z(a), z(b)
+
+    # corr[k] = Σᵢ a[i]·b[i+k] (circular) = irfft(conj(rfft(a))·rfft(b)).
+    corr = jnp.fft.irfft(jnp.conj(jnp.fft.rfft(a)) * jnp.fft.rfft(b), n=n_grid)
+    k = jnp.arange(n_grid)
+    signed = jnp.where(k <= n_grid // 2, k, k - n_grid)
+    in_range = jnp.abs(signed * dt_g) <= max_lag_seconds
+    usable = (s_n >= 2) & (g_n >= 2)
+    best = jnp.argmax(jnp.where(in_range, corr, -jnp.inf))
+    offset = -signed[best].astype(dtype) * dt_g
+    return jnp.where(usable, offset, 0.0)
+
+
 class AlignedGPS(NamedTuple):
     """GPS positions interpolated onto SLAM timestamps.
 

@@ -85,6 +85,63 @@ def _round_up(x: int, multiple: int) -> int:
     return ((x + multiple - 1) // multiple) * multiple
 
 
+@lru_cache(maxsize=8)
+def _offsets_fn(mesh: Optional[Mesh], max_lag_seconds: float, n_grid: int):
+    from gps_optimize_slam_tpu.ops import alignment
+
+    def one(st, sp, sm, gt, gp, gv):
+        return alignment.estimate_time_offset_xcorr_device(
+            st,
+            sp,
+            gt,
+            gp,
+            slam_mask=sm,
+            gps_valid=gv,
+            max_lag_seconds=max_lag_seconds,
+            n_grid=n_grid,
+        )
+
+    fn = jax.vmap(one)
+    if mesh is None:
+        return jax.jit(fn)
+    shard = NamedSharding(mesh, P(SEQ_AXIS))
+    return jax.jit(fn, in_shardings=(shard,) * 6, out_shardings=shard)
+
+
+def estimate_offsets_batch(
+    batch: SequenceBatch,
+    mesh: Optional[Mesh] = None,
+    dtype=None,
+    max_lag_seconds: float = 10.0,
+    n_grid: int = 4096,
+) -> np.ndarray:
+    """Per-sequence clock offsets, estimated ON DEVICE (vmapped FFT speed
+    cross-correlation — ops.alignment.estimate_time_offset_xcorr_device),
+    honouring padding masks. Returns a host (B,) array suitable for
+    ``fuse_batch(..., time_offsets=...)``."""
+    dtype = dtype or jnp.result_type(np.asarray(batch.slam_pos).dtype, jnp.float32)
+    host_args = (
+        np.asarray(batch.slam_times, dtype),
+        np.asarray(batch.slam_pos, dtype),
+        np.asarray(batch.slam_mask),
+        np.asarray(batch.gps_times, dtype),
+        np.asarray(batch.gps_pos, dtype),
+        np.asarray(batch.gps_valid),
+    )
+    if mesh is None:
+        args = tuple(jnp.asarray(a) for a in host_args)
+    else:
+        b = host_args[0].shape[0]
+        b_pad = _round_up(b, mesh.devices.size)
+        if b_pad != b:
+            reps = np.concatenate([np.arange(b), np.zeros(b_pad - b, np.intp)])
+            host_args = tuple(a[reps] for a in host_args)
+        shard = NamedSharding(mesh, P(SEQ_AXIS))
+        args = tuple(jax.device_put(a, shard) for a in host_args)
+    out = np.asarray(_offsets_fn(mesh, max_lag_seconds, n_grid)(*args))
+    return out[: batch.slam_times.shape[0]]
+
+
 def fuse_batch(
     batch: SequenceBatch,
     keys: jax.Array,
@@ -92,8 +149,13 @@ def fuse_batch(
     mesh: Optional[Mesh] = None,
     dtype=None,
     time_offsets=None,
+    estimate_offsets: bool = False,
 ):
     """Fuse a padded batch of sequences; one `vmap`ped device program.
+
+    ``estimate_offsets=True`` (with ``time_offsets=None``) estimates the
+    per-sequence clock offsets on device first (``estimate_offsets_batch``)
+    and fuses with them applied.
 
     With ``mesh`` given, inputs/outputs are sharded over the batch axis —
     each device fuses its shard of sequences independently. Any batch size
@@ -112,7 +174,10 @@ def fuse_batch(
     dtype = dtype or jnp.result_type(batch.slam_pos.dtype, jnp.float32)
 
     if time_offsets is None:
-        time_offsets = np.zeros(batch.slam_times.shape[0])
+        if estimate_offsets:
+            time_offsets = estimate_offsets_batch(batch, mesh=mesh, dtype=dtype)
+        else:
+            time_offsets = np.zeros(batch.slam_times.shape[0])
     host_args = (
         np.asarray(batch.slam_times, dtype),
         np.asarray(batch.slam_pos, dtype),
@@ -140,6 +205,47 @@ def fuse_batch(
     if b_pad != b:
         out = jax.tree.map(lambda x: x[:b], out)
     return out
+
+
+def fuse_buckets(
+    buckets,
+    keys,
+    config: FusionConfig = FusionConfig(),
+    mesh: Optional[Mesh] = None,
+    dtype=None,
+    estimate_offsets: bool = False,
+):
+    """Fuse length-bucketed sequences (``batch.bucket_by_length`` output).
+
+    Each bucket runs as its own padded program (bounded padding waste, one
+    compile per bucket shape). ``keys`` is (B_total, 2) in the ORIGINAL
+    sequence order. Returns a list in original order of per-sequence
+    FusionOutputs with every slam-indexed leaf sliced to the sequence's
+    real length (host NumPy)."""
+    total = sum(len(idxs) for idxs, _ in buckets)
+    results = [None] * total
+    for idxs, b in buckets:
+        out = fuse_batch(
+            b,
+            np.asarray(keys)[idxs],
+            config=config,
+            mesh=mesh,
+            dtype=dtype,
+            estimate_offsets=estimate_offsets,
+        )
+        host = jax.tree.map(np.asarray, out)
+        n_max = b.slam_times.shape[1]
+        for row, i in enumerate(idxs):
+            n = int(b.n_slam[row])
+
+            def slice_leaf(x, row=row, n=n):
+                x_row = x[row]
+                if x_row.ndim >= 1 and x_row.shape[0] == n_max:
+                    return x_row[:n]
+                return x_row
+
+            results[int(i)] = jax.tree.map(slice_leaf, host)
+    return results
 
 
 @lru_cache(maxsize=8)

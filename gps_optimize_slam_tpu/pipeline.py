@@ -204,7 +204,21 @@ def estimate_offset(
             gps.timestamps[gps.valid],
             gps.positions[gps.valid],
         )
-    raise ValueError(f"unknown offset_mode {mode!r} (off|faithful|xcorr)")
+    if mode == "xcorr_device":
+        return float(
+            np.asarray(
+                alignment.estimate_time_offset_xcorr_device(
+                    jnp.asarray(slam["timestamps"]),
+                    jnp.asarray(slam["positions"]),
+                    jnp.asarray(gps.timestamps),
+                    jnp.asarray(gps.positions),
+                    gps_valid=jnp.asarray(gps.valid),
+                )
+            )
+        )
+    raise ValueError(
+        f"unknown offset_mode {mode!r} (off|faithful|xcorr|xcorr_device)"
+    )
 
 
 def fuse_arrays(

@@ -13,6 +13,7 @@
 #include <cctype>
 #include <charconv>
 #include <cstdint>
+#include <cstdio>
 #include <cstdlib>
 #include <cstring>
 
@@ -133,6 +134,102 @@ done:
     *n_cols = cols;
   }
   return rc;
+}
+
+// KITTI oxts directory scanner: the native data-loader for the GPSmerge
+// ETL (reference GPSmerge.py:41-62 reads one numpy table per frame from
+// Python — thousands of tiny files). One C call scans data_dir/%010d.txt
+// for frame 0..max_frames-1, extracting per row:
+//   [frame_index, lat(col0), lon(col1), alt(col2), numsats(col25),
+//    velmode(col27)]
+// Missing frame files are skipped (mirrors the Python loop). Rows with
+// fewer than 28 columns are an error (-3). Same two-call shape protocol:
+// values=nullptr sizes the output (*n_rows), second call fills a
+// (*n_rows x 6) buffer, treating the sized row count as capacity (-6 if
+// the directory grew in between).
+int fastparse_oxts_dir(const char* data_dir, double* values, int64_t* n_rows,
+                       int64_t max_frames) {
+  bool counting = (values == nullptr);
+  int64_t capacity = counting ? 0 : *n_rows;
+  int64_t out_rows = 0;
+  char path[4096];
+
+  for (int64_t idx = 0; idx < max_frames; ++idx) {
+    int len = snprintf(path, sizeof(path), "%s/%010lld.txt", data_dir,
+                       static_cast<long long>(idx));
+    if (len <= 0 || static_cast<size_t>(len) >= sizeof(path)) return -1;
+    int fd = open(path, O_RDONLY);
+    if (fd < 0) continue;  // missing frame file: skip (Python parity)
+    struct stat st;
+    if (fstat(fd, &st) != 0) {
+      close(fd);
+      return -1;
+    }
+    size_t size = static_cast<size_t>(st.st_size);
+    if (size == 0) {
+      close(fd);
+      continue;
+    }
+    const char* data = static_cast<const char*>(
+        mmap(nullptr, size, PROT_READ, MAP_PRIVATE, fd, 0));
+    close(fd);
+    if (data == MAP_FAILED) return -2;
+
+    const char* p = data;
+    const char* end = data + size;
+    int rc = 0;
+    while (p < end) {
+      while (p < end && (*p == ' ' || *p == '\t' || *p == ',' || *p == '\r')) ++p;
+      if (p < end && *p == '\n') {
+        ++p;
+        continue;
+      }
+      if (p >= end) break;
+      if (*p == '#') {
+        while (p < end && *p != '\n') ++p;
+        continue;
+      }
+      double keep[28];
+      int64_t c = 0;
+      while (p < end && *p != '\n') {
+        double v;
+        bool ok;
+        const char* next = parse_double(p, end, &v, &ok);
+        if (!ok) {
+          rc = -5;
+          goto file_done;
+        }
+        if (c < 28) keep[c] = v;
+        ++c;
+        p = next;
+        while (p < end && (*p == ' ' || *p == '\t' || *p == ',' || *p == '\r')) ++p;
+      }
+      if (p < end) ++p;  // newline
+      if (c < 28) {
+        rc = -3;
+        goto file_done;
+      }
+      if (!counting) {
+        if (out_rows >= capacity) {
+          rc = -6;
+          goto file_done;
+        }
+        double* row = values + out_rows * 6;
+        row[0] = static_cast<double>(idx);
+        row[1] = keep[0];
+        row[2] = keep[1];
+        row[3] = keep[2];
+        row[4] = keep[25];
+        row[5] = keep[27];
+      }
+      ++out_rows;
+    }
+  file_done:
+    munmap(const_cast<char*>(data), size);
+    if (rc != 0) return rc;
+  }
+  *n_rows = out_rows;
+  return 0;
 }
 
 }  // extern "C"

@@ -189,3 +189,38 @@ def test_quaternion_exp_log_roundtrip():
     # Near-zero and exact-zero stability.
     z = quat.log_map(quat.exp_map(jnp.zeros((1, 3))))
     np.testing.assert_allclose(np.asarray(z), 0.0, atol=1e-12)
+
+
+def test_pose_graph_checkpoint_resume(tmp_path):
+    """Kill/resume reproduces the uninterrupted optimisation exactly
+    (VERDICT r1 task 9: orbax checkpointing wired into the one
+    long-running loop)."""
+    gt_pos, gt_quat, dp, dq = make_drifting_graph(n=40, seed=2)
+    init_pos, init_quat = integrate_odometry(gt_pos[0], gt_quat[0], dp, dq)
+    gps_valid = np.zeros(len(gt_pos), bool)
+    gps_valid[::4] = True
+    data = pose_graph.build_data_from_fusion(
+        jnp.asarray(init_pos), jnp.asarray(init_quat),
+        jnp.asarray(gt_pos), jnp.asarray(gps_valid),
+    )
+    data = data._replace(odo_dp=jnp.asarray(dp), odo_dq=jnp.asarray(dq))
+    init = pose_graph.PoseGraphState(jnp.asarray(init_pos), jnp.asarray(init_quat))
+
+    ref = pose_graph.solve_pose_graph(init, data, iterations=6)
+
+    ckdir = str(tmp_path / "pg_ckpt")
+    # "Crash" after 4 of 6 iterations (2 rounds of 2)...
+    partial = pose_graph.solve_pose_graph_checkpointed(
+        init, data, iterations=4, checkpoint_every=2, checkpoint_dir=ckdir
+    )
+    assert np.asarray(partial.cost_history).shape == (5,)
+    # ...then resume to completion: picks up at iteration 4, runs 2 more.
+    res = pose_graph.solve_pose_graph_checkpointed(
+        init, data, iterations=6, checkpoint_every=2, checkpoint_dir=ckdir
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.state.positions), np.asarray(ref.state.positions), atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.cost_history), np.asarray(ref.cost_history), rtol=1e-12
+    )

@@ -160,3 +160,35 @@ def test_native_parser_rejects_file_growth(tmp_path):
         ctypes.byref(cols),
     )
     assert rc == -6
+
+
+def test_native_oxts_scan_parity(tmp_path):
+    """The C directory scanner returns exactly what the Python loop reads,
+    including skipped (missing) frame files and multi-row frames."""
+    from gps_optimize_slam_tpu.io import native
+
+    if not native.native_available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+
+    d = tmp_path / "oxts"
+    (d / "data").mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    n_frames = 7
+    expect = []
+    for i in range(n_frames):
+        if i == 3:
+            continue  # hole: frame file missing
+        rows = 2 if i == 5 else 1
+        block = rng.normal(size=(rows, 30))
+        np.savetxt(d / "data" / f"{i:010d}.txt", block)
+        reread = np.loadtxt(d / "data" / f"{i:010d}.txt")
+        if reread.ndim == 1:
+            reread = reread[None]
+        for r in reread:
+            expect.append([i, r[0], r[1], r[2], r[25], r[27]])
+
+    got = native.oxts_scan(str(d / "data"), n_frames)
+    assert got is not None
+    np.testing.assert_allclose(got, np.asarray(expect), rtol=0, atol=0)
