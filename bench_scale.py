@@ -149,6 +149,34 @@ def main():
         ts.append((time.perf_counter() - t0) * 1e3)
     device_ms = float(np.median(ts)) / K
 
+    # Extra: adaptive early-stopping RANSAC (opt-in config; the reference
+    # always runs max_trials, so the HEADLINE stays the faithful config).
+    from gps_optimize_slam_tpu.config import Sim3RansacConfig
+
+    cfg_ad = cfg.replace(sim3_ransac=Sim3RansacConfig(stop_probability=0.9999))
+
+    def one_ad(st, sp, sq, gt_, gp_, gv, k, sm, toff):
+        return fusion.fuse_core(
+            st, sp, sq, gt_, gp_, gv, k, config=cfg_ad, slam_mask=sm, time_offset=toff
+        )
+
+    @jax.jit
+    def chained_ad(keys):
+        def body(i, acc):
+            ki = jax.vmap(lambda k: jax.random.fold_in(k, i))(keys)
+            o = jax.vmap(one_ad)(*args[:6], ki, *args[7:])
+            return acc + jnp.sum(o.corrected_pos) + jnp.sum(o.sim3.scale)
+
+        return jax.lax.fori_loop(0, K, body, jnp.zeros((), dtype))
+
+    np.asarray(chained_ad(kdev))
+    ts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        np.asarray(chained_ad(kdev))
+        ts.append((time.perf_counter() - t0) * 1e3)
+    adaptive_device_ms = float(np.median(ts)) / K
+
     # Product-API wall (fuse_batch: re-stages host arrays every call).
     def api_run():
         o = pmesh.fuse_batch(b, keys_host, config=cfg, dtype=dtype)
@@ -175,6 +203,7 @@ def main():
                 "poses_per_sec": round(total_poses / (device_ms / 1e3), 0),
                 "north_star_ms": 50.0,
                 "device_ms": round(device_ms, 2),
+                "adaptive_ransac_device_ms": round(adaptive_device_ms, 2),
                 "single_dispatch_ms": round(single_dispatch_ms, 2),
                 "dispatch_overhead_ms": round(single_dispatch_ms - device_ms, 2),
                 "transfer_ms": round(transfer_ms, 2),

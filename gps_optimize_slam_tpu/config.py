@@ -40,6 +40,14 @@ class Sim3RansacConfig:
     max_trials: int = 1000
     min_inliers_needed: int = 4
     max_initial_duration: float = 180.0
+    # Adaptive early stopping (framework extension; the reference always
+    # runs max_trials — EKFGPSSLAM.py:404 — while its sklearn GPS filter
+    # stops at stop_probability=0.99). None = faithful fixed trial count;
+    # a probability p runs trial chunks until the sklearn bound
+    # ln(1−p)/ln(1−w^min_samples) is met (w = best inlier ratio so far).
+    # On clean data (w≈1) one 128-trial chunk suffices — ~8× fewer trials.
+    stop_probability: float | None = None
+    adaptive_chunk: int = 128
 
 
 @dataclasses.dataclass(frozen=True)

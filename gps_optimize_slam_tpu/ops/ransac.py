@@ -99,15 +99,61 @@ def sim3_ransac(
 
     def trial_count(k):
         fit = trial_fit(k)
-        return jnp.where(fit.ok, jnp.sum(trial_mask(fit)), -1)
+        return jnp.where(fit.ok, jnp.sum(trial_mask(fit)), -1).astype(jnp.int32)
 
     # Trials return COUNTS only — the (trials × points) inlier matrix never
     # materialises in HBM; the winner's mask is recomputed from its key.
     keys = jax.random.split(key, cfg.max_trials)
-    counts = jax.vmap(trial_count)(keys)
-    best = jnp.argmax(counts)  # first maximum, like the reference's '>'
-    best_mask = trial_mask(trial_fit(keys[best])) & enough
-    max_inliers = jnp.maximum(counts[best], 0)
+    if cfg.stop_probability is None:
+        counts = jax.vmap(trial_count)(keys)
+        best = jnp.argmax(counts)  # first maximum, like the reference's '>'
+        best_key = keys[best]
+        best_count = counts[best]
+    else:
+        # Adaptive early stopping (sklearn-style, config-gated): run
+        # fixed-size trial chunks under lax.while_loop until the
+        # ln(1−p)/ln(1−w^k) trial bound is met. First-maximum semantics are
+        # preserved across chunks (strict '>' against the running best).
+        import math
+
+        C = min(cfg.adaptive_chunk, cfg.max_trials)
+        n_chunks = -(-cfg.max_trials // C)
+        keys = jax.random.split(key, n_chunks * C).reshape(n_chunks, C, *key.shape)
+        log1mp = math.log1p(-min(cfg.stop_probability, 1.0 - 1e-12))
+
+        def cond(state):
+            i, best_count, _ = state
+            w = jnp.clip(
+                best_count.astype(src.dtype) / jnp.maximum(n_valid, 1), 0.0, 1.0
+            )
+            # Clip strictly inside (0, 1): fail→1 (w→0) must yield a HUGE
+            # trial bound, not log(1)=0 — and the upper clip must survive
+            # the working dtype's rounding (1−1e-9 == 1.0 in float32).
+            eps1 = 16.0 * float(jnp.finfo(src.dtype).eps)
+            fail = jnp.clip(1.0 - w**cfg.min_samples, 1e-12, 1.0 - eps1)
+            n_needed = jnp.where(
+                w >= 1.0, jnp.zeros((), src.dtype), log1mp / jnp.log(fail)
+            )
+            return (i < n_chunks) & ((i * C) < n_needed)
+
+        def body(state):
+            i, best_count, best_key = state
+            counts = jax.vmap(trial_count)(keys[i])
+            b = jnp.argmax(counts)
+            better = counts[b] > best_count  # strict: earlier chunk wins ties
+            return (
+                i + 1,
+                jnp.where(better, counts[b], best_count),
+                jnp.where(better, keys[i][b], best_key),
+            )
+
+        _, best_count, best_key = jax.lax.while_loop(
+            cond,
+            body,
+            (jnp.zeros((), jnp.int32), jnp.asarray(-1, jnp.int32), keys[0][0]),
+        )
+    best_mask = trial_mask(trial_fit(best_key)) & enough
+    max_inliers = jnp.maximum(best_count, 0)
 
     ok = enough & (max_inliers >= cfg.min_inliers_needed)
     refit = umeyama_sim3(src, dst, best_mask.astype(src.dtype))

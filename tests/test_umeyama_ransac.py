@@ -303,3 +303,43 @@ def test_gps_ransac_global_mode_keeps_all_when_clean():
         )
     )
     assert ours.all()
+
+
+def test_sim3_ransac_adaptive_matches_fixed():
+    """Adaptive early stopping (stop_probability) converges to the same
+    transform as the faithful fixed-trial run, clean and contaminated."""
+    rng = np.random.default_rng(11)
+    n = 300
+    src = rng.normal(size=(n, 3)) * 20
+    R = Rotation.from_euler("zyx", [0.4, -0.2, 0.1]).as_matrix()
+    dst = 0.97 * src @ R.T + np.asarray([5.0, -2.0, 1.0])
+    dst_noisy = dst + rng.normal(size=(n, 3)) * 0.05
+    # 15% gross outliers.
+    out_idx = rng.choice(n, 45, replace=False)
+    dst_cont = dst_noisy.copy()
+    dst_cont[out_idx] += rng.normal(size=(45, 3)) * 200.0
+
+    for dst_case in (dst_noisy, dst_cont):
+        fixed = ransac.sim3_ransac(
+            jax.random.PRNGKey(0), jnp.asarray(src), jnp.asarray(dst_case),
+            cfg=Sim3RansacConfig(),
+        )
+        adaptive = ransac.sim3_ransac(
+            jax.random.PRNGKey(0), jnp.asarray(src), jnp.asarray(dst_case),
+            cfg=Sim3RansacConfig(stop_probability=0.9999),
+        )
+        assert bool(fixed.ok) and bool(adaptive.ok)
+        np.testing.assert_allclose(
+            np.asarray(adaptive.sim3.R), np.asarray(fixed.sim3.R), atol=5e-3
+        )
+        np.testing.assert_allclose(
+            float(adaptive.sim3.scale), float(fixed.sim3.scale), rtol=1e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(adaptive.sim3.t), np.asarray(fixed.sim3.t), atol=0.2
+        )
+        # Contaminated case: the true inlier set is recovered either way.
+        if dst_case is dst_cont:
+            inl = np.asarray(adaptive.inlier_mask)
+            assert inl[out_idx].sum() == 0
+            assert inl.sum() >= n - 45 - 5
