@@ -27,12 +27,27 @@ N_TIMING_RUNS = 30
 
 def _enable_compile_cache():
     """Persistent compilation cache — repeat bench runs skip the slow
-    (remote) compiles."""
+    (remote) compiles. Keyed by host CPU features: XLA:CPU compiles with
+    -march=native but its cache key omits the exact feature set, so entries
+    from a different machine can load mis-featured code (SIGILL/segfault
+    risk per XLA's own warning)."""
+    import hashlib
     import os
 
     import jax
 
-    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    try:
+        tag = "generic"
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    tag = hashlib.sha1(line.encode()).hexdigest()[:10]
+                    break
+    except OSError:
+        tag = "generic"
+    cache = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".jax_cache", tag
+    )
     os.makedirs(cache, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -5,10 +5,13 @@ TPU-native replacements for the reference's robust-estimation loops:
 * ``sim3_ransac`` — replaces compute_sim3_transform_robust
   (EKFGPSSLAM.py:389-426). The reference runs a 1000-iteration Python loop
   (one 4-point SVD + full residual pass per iteration, 130-230 ms measured,
-  SURVEY §6). Here ALL trials run as one vmapped batch: sampling via
-  `jax.random` Gumbel top-k, 3×3 SVDs batched, the trials×points residual
-  matrix one fused XLA computation, winner by argmax, masked refit — a
-  single device program.
+  SURVEY §6). Here ALL trials run as one vmapped batch: compact-gather
+  uniform sampling, structure-of-arrays 4-point Umeyama fits, and a fused
+  squared-residual count per trial — trials return COUNTS only (the
+  trials×points inlier matrix never hits HBM); the winner's mask is
+  recomputed from its PRNG key after the argmax. Optional sklearn-style
+  adaptive early stopping (``cfg.stop_probability``) runs 128-trial chunks
+  under ``lax.while_loop`` until the ln(1−p)/ln(1−w^k) bound is met.
 * ``gps_poly_ransac_mask`` — replaces filter_gps_outliers_ransac
   (EKFGPSSLAM.py:136-247): per-window per-axis degree-2 polynomial RANSAC,
   windows × axes × trials all vmapped. Returns a keep-MASK (static shape)

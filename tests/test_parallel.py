@@ -202,44 +202,3 @@ def test_fuse_batch_time_offsets():
     np.testing.assert_allclose(
         np.asarray(out.corrected_pos), np.asarray(base.corrected_pos), atol=1e-9
     )
-
-
-def test_bucketed_fusion_matches_unbucketed():
-    """Length bucketing (VERDICT r1 task 4): per-sequence parity with the
-    single-batch path, and bounded padding waste."""
-    from gps_optimize_slam_tpu.parallel.batch import bucket_by_length
-
-    # Strongly mixed lengths: several short, two long.
-    lengths = [60, 70, 64, 260, 240]
-    rng = np.random.default_rng(1)
-    slams, gts, gps_list, valids = [], [], [], []
-    for i, n in enumerate(lengths):
-        t, pos, quats = make_traj(n=n, seed=i)
-        slams.append({"timestamps": t, "positions": pos, "quaternions": quats})
-        m = int(n * 0.9)
-        gt = np.linspace(t[0], t[-1], m)
-        gp = np.stack(
-            [np.interp(gt, t, pos[:, k]) for k in range(3)], -1
-        ) * 1.01 + rng.normal(size=(m, 3)) * 0.05
-        gts.append(gt)
-        gps_list.append(gp)
-        valids.append(np.ones(m, bool))
-    keys = np.stack([np.asarray(jax.random.PRNGKey(i)) for i in range(len(lengths))])
-
-    buckets = bucket_by_length(slams, gts, gps_list, valids, max_waste=2.0)
-    assert len(buckets) == 2  # shorts together, longs together
-    for idxs, b in buckets:
-        ls = [lengths[i] for i in idxs]
-        assert max(ls) <= 2.0 * min(ls)
-
-    per_seq = pmesh.fuse_buckets(buckets, keys)
-
-    ref = pmesh.fuse_batch(pbatch.pad_batch(slams, gts, gps_list, valids), keys)
-    for i, n in enumerate(lengths):
-        np.testing.assert_allclose(
-            per_seq[i].corrected_pos,
-            np.asarray(ref.corrected_pos)[i, :n],
-            atol=1e-9,
-        )
-        assert per_seq[i].corrected_pos.shape == (n, 3)
-        assert bool(per_seq[i].ok)
