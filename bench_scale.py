@@ -177,6 +177,49 @@ def main():
         ts.append((time.perf_counter() - t0) * 1e3)
     adaptive_device_ms = float(np.median(ts)) / K
 
+    # Extra: length-bucketed fusion (parallel.batch.bucket_by_length) — one
+    # global pad length forces 23.2k real poses to 52k padded; two buckets
+    # cut the padded work ~1.7×. Both bucket programs chained in ONE
+    # dispatch per iteration.
+    buckets = pbatch.bucket_by_length(
+        slams, gts, gps_list, valids, max_waste=2.0, pad_multiple=128
+    )
+    bucket_args = []
+    for idxs, bb in buckets:
+        ha = (
+            np.asarray(bb.slam_times, dtype),
+            np.asarray(bb.slam_pos, dtype),
+            np.asarray(bb.slam_quat, dtype),
+            np.asarray(bb.gps_times, dtype),
+            np.asarray(bb.gps_pos, dtype),
+            np.asarray(bb.gps_valid),
+            keys_host[idxs],
+            np.asarray(bb.slam_mask),
+            np.zeros(len(idxs), dtype),
+        )
+        bucket_args.append(tuple(jax.device_put(a) for a in ha))
+
+    @jax.jit
+    def chained_buckets(all_keys):
+        def body(i, acc):
+            tot = acc
+            for ba, bk in zip(bucket_args, all_keys):
+                ki = jax.vmap(lambda k: jax.random.fold_in(k, i))(bk)
+                o = jax.vmap(one)(*ba[:6], ki, *ba[7:])
+                tot = tot + jnp.sum(o.corrected_pos) + jnp.sum(o.sim3.scale)
+            return tot
+
+        return jax.lax.fori_loop(0, K, body, jnp.zeros((), dtype))
+
+    bkeys = tuple(ba[6] for ba in bucket_args)
+    np.asarray(chained_buckets(bkeys))
+    ts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        np.asarray(chained_buckets(bkeys))
+        ts.append((time.perf_counter() - t0) * 1e3)
+    bucketed_device_ms = float(np.median(ts)) / K
+
     # Product-API wall (fuse_batch: re-stages host arrays every call).
     def api_run():
         o = pmesh.fuse_batch(b, keys_host, config=cfg, dtype=dtype)
@@ -204,6 +247,11 @@ def main():
                 "north_star_ms": 50.0,
                 "device_ms": round(device_ms, 2),
                 "adaptive_ransac_device_ms": round(adaptive_device_ms, 2),
+                "bucketed_device_ms": round(bucketed_device_ms, 2),
+                "padded_poses": int(b.slam_times.shape[0] * b.slam_times.shape[1]),
+                "bucketed_padded_poses": int(
+                    sum(bb.slam_times.size for _, bb in buckets)
+                ),
                 "single_dispatch_ms": round(single_dispatch_ms, 2),
                 "dispatch_overhead_ms": round(single_dispatch_ms - device_ms, 2),
                 "transfer_ms": round(transfer_ms, 2),
