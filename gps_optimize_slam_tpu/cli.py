@@ -4,10 +4,12 @@ Replaces the reference's tkinter dialog flow (EKFGPSSLAM.py:669-674,
 940-956) and the GPSmerge/kitti2tum script entry points with one CLI:
 
     python -m gps_optimize_slam_tpu fuse SLAM.tum GPS.txt [-o OUT] [--gt GT]
-        [--frame utm|enu] [--plot out.png] [--json] [--config cfg.json]
+        [--frame auto|utm|enu] [--plot out.png] [--json] [--config cfg.json]
         [--rts-mode outage|full] [--ekf-scan auto|sequential|parallel]
         [--estimate-offset off|faithful|xcorr|xcorr_device] [--meas-noise SX SY SZ]
         [--no-gps-filter]
+    python -m gps_optimize_slam_tpu fuse-batch SLAM1:GPS1 SLAM2:GPS2 ...
+        [-o OUT_DIR] [--max-waste W] [--estimate-offsets] [--json]
     python -m gps_optimize_slam_tpu kitti2tum POSES TIMES OUT
     python -m gps_optimize_slam_tpu oxts-extract OXTS_DIR [-o OUT]
         [--offset SECONDS] [--single-offset]
@@ -54,6 +56,29 @@ def _build_config(args):
     return config
 
 
+def _resolve_frame(frame: str) -> str:
+    """Pick working frame + precision for the current backend.
+
+    CPU: enable float64 (golden-accuracy path) and default to the
+    reference's UTM frame. Accelerators (f32): default to the local ENU
+    frame — UTM's ~5e6 m northings eat the float32 mantissa (README,
+    "TPU-first design decisions"); warn if UTM was forced explicitly.
+    """
+    import jax
+
+    if jax.default_backend() == "cpu":
+        jax.config.update("jax_enable_x64", True)
+        return "utm" if frame == "auto" else frame
+    resolved = "enu" if frame == "auto" else frame
+    if resolved == "utm":
+        print(
+            "warning: UTM working frame in float32 on an accelerator loses "
+            "~0.5 m to coordinate quantisation; prefer --frame enu",
+            file=sys.stderr,
+        )
+    return resolved
+
+
 def _cmd_fuse(args) -> int:
     from gps_optimize_slam_tpu import pipeline
     from gps_optimize_slam_tpu.utils.logging import enable as enable_logging
@@ -62,11 +87,12 @@ def _cmd_fuse(args) -> int:
         enable_logging()
 
     config = _build_config(args)
+    frame = _resolve_frame(args.frame)
     result = pipeline.fuse_files(
         args.slam,
         args.gps,
         config=config,
-        frame=args.frame,
+        frame=frame,
         seed=args.seed,
         gt_path=args.gt,
     )
@@ -110,7 +136,7 @@ def _cmd_fuse(args) -> int:
 
     if args.output:
         wgs = None
-        if args.frame == "utm":
+        if frame == "utm":
             wgs = (
                 args.output.replace("_utm.txt", "_wgs84.txt")
                 if "_utm.txt" in args.output
@@ -124,6 +150,97 @@ def _cmd_fuse(args) -> int:
         plot_fusion_result(result, args.plot)
         print(f"plot saved: {args.plot}")
     return 0
+
+
+def _cmd_fuse_batch(args) -> int:
+    """Batched multi-sequence fusion: the scale-out path on the CLI.
+
+    Each PAIR is "slam.tum:gps.txt". Sequences are length-bucketed
+    (bounded padding waste), fused as one vmapped device program per
+    bucket, and reported/exported per sequence.
+    """
+    import numpy as np
+
+    from gps_optimize_slam_tpu import pipeline
+    from gps_optimize_slam_tpu.io import tum as tum_io
+    from gps_optimize_slam_tpu.parallel import batch as pbatch
+    from gps_optimize_slam_tpu.parallel import mesh as pmesh
+    from gps_optimize_slam_tpu.utils.logging import enable as enable_logging
+
+    if args.verbose:
+        enable_logging()
+    config = _build_config(args)
+    frame = _resolve_frame(args.frame)
+
+    slams, gts, gps_list, valids, names = [], [], [], [], []
+    for pair in args.pairs:
+        try:
+            slam_path, gps_path = pair.rsplit(":", 1)
+        except ValueError:
+            print(f"bad pair {pair!r} (expected slam.tum:gps.txt)", file=sys.stderr)
+            return 2
+        slam = tum_io.read_tum(slam_path)
+        gps = pipeline.load_and_project_gps(
+            gps_path, config.gps_filtering_ransac, frame=frame
+        )
+        slams.append(slam)
+        gts.append(gps.timestamps)
+        gps_list.append(gps.positions)
+        valids.append(gps.valid)
+        names.append(slam_path)
+
+    import jax
+
+    keys = np.stack(
+        [np.asarray(jax.random.PRNGKey(args.seed + i)) for i in range(len(slams))]
+    )
+    buckets = pbatch.bucket_by_length(
+        slams, gts, gps_list, valids, max_waste=args.max_waste
+    )
+    per_seq = pmesh.fuse_buckets(
+        buckets, keys, config=config, estimate_offsets=args.estimate_offsets
+    )
+
+    rows = []
+    for i, out in enumerate(per_seq):
+        ts = np.asarray(slams[i]["timestamps"])
+        gate = (
+            out.gps_valid
+            & np.isfinite(out.aligned_gps).all(-1)
+            & (ts > ts[0] + 5.0)
+        )
+        err = np.linalg.norm(out.corrected_pos - out.aligned_gps, axis=-1)[gate]
+        rows.append(
+            {
+                "slam": names[i],
+                "poses": int(out.corrected_pos.shape[0]),
+                "ok": bool(out.ok),
+                "sim3_scale": round(float(out.sim3.scale), 6),
+                "ate_rmse_m": round(float(np.sqrt(np.mean(err**2))), 4)
+                if err.size
+                else None,
+                "ate_mean_m": round(float(err.mean()), 4) if err.size else None,
+                "eval_points": int(err.size),
+            }
+        )
+        if args.out_dir:
+            import os
+
+            os.makedirs(args.out_dir, exist_ok=True)
+            path = os.path.join(args.out_dir, f"seq{i:02d}_fused.txt")
+            tum_io.write_tum(path, ts, out.corrected_pos, out.corrected_quat)
+            rows[-1]["output"] = path
+
+    if args.json:
+        print(json.dumps({"sequences": rows, "buckets": len(buckets)}, indent=2))
+    else:
+        for r in rows:
+            print(
+                f"{r['slam']}: poses={r['poses']} ok={r['ok']} "
+                f"scale={r['sim3_scale']} ate_rmse={r['ate_rmse_m']}m"
+                + (f" -> {r['output']}" if "output" in r else "")
+            )
+    return 0 if all(r["ok"] for r in rows) else 1
 
 
 def _cmd_kitti2tum(args) -> int:
@@ -159,7 +276,12 @@ def build_parser() -> argparse.ArgumentParser:
     f.add_argument("gps", help="GNSS fixes: ts lat lon alt ...")
     f.add_argument("-o", "--output", help="output TUM path (working frame)")
     f.add_argument("--gt", help="ground-truth GNSS file (ts lon lat alt ...)")
-    f.add_argument("--frame", choices=["utm", "enu"], default="utm")
+    f.add_argument(
+        "--frame",
+        choices=["auto", "utm", "enu"],
+        default="auto",
+        help="auto = UTM+f64 on CPU, local ENU on accelerators (f32-safe)",
+    )
     f.add_argument("--seed", type=int, default=0)
     f.add_argument("--json", action="store_true", help="machine-readable output")
     f.add_argument("--plot", help="save a matplotlib overview figure (png)")
@@ -198,6 +320,41 @@ def build_parser() -> argparse.ArgumentParser:
         help="disable the polynomial-RANSAC GPS outlier gate",
     )
     f.set_defaults(fn=_cmd_fuse)
+
+    fb = sub.add_parser(
+        "fuse-batch",
+        help="fuse MANY sequences in one (bucketed) vmapped device program",
+    )
+    fb.add_argument(
+        "pairs", nargs="+", metavar="SLAM:GPS", help="slam.tum:gps.txt pairs"
+    )
+    fb.add_argument("-o", "--out-dir", help="write per-sequence fused TUM files here")
+    fb.add_argument(
+        "--frame",
+        choices=["auto", "utm", "enu"],
+        default="auto",
+        help="auto = UTM+f64 on CPU, local ENU on accelerators (f32-safe)",
+    )
+    fb.add_argument("--seed", type=int, default=0)
+    fb.add_argument("--json", action="store_true")
+    fb.add_argument("-v", "--verbose", action="store_true")
+    fb.add_argument("--config", help="JSON config file (reference CONFIG layout)")
+    fb.add_argument("--rts-mode", choices=["outage", "full"])
+    fb.add_argument("--ekf-scan", choices=["auto", "sequential", "parallel"])
+    fb.add_argument(
+        "--max-waste",
+        type=float,
+        default=2.0,
+        help="length-bucketing waste bound (max_len/min_len per bucket)",
+    )
+    fb.add_argument(
+        "--estimate-offsets",
+        action="store_true",
+        help="estimate per-sequence GPS clock offsets on device (FFT xcorr)",
+    )
+    fb.add_argument("--meas-noise", type=float, nargs=3, metavar=("SX", "SY", "SZ"))
+    fb.add_argument("--no-gps-filter", action="store_true")
+    fb.set_defaults(fn=_cmd_fuse_batch)
 
     k = sub.add_parser("kitti2tum", help="KITTI poses+times -> TUM file")
     k.add_argument("poses")

@@ -134,26 +134,36 @@ def load_and_project_gps(
             raw["lons"][valid], raw["lats"][valid]
         )
     dtype = dtype or jnp.float64
-    lons = jnp.asarray(raw["lons"], dtype)
-    lats = jnp.asarray(raw["lats"], dtype)
-    alts = jnp.asarray(raw["alts"], dtype)
+    # The geodetic projection ALWAYS runs in float64 on CPU, whatever the
+    # fusion dtype/backend: ECEF/UTM intermediates are ~6.4e6 m, so a
+    # float32 projection loses ~0.5 m before fusion even starts (measured
+    # on the TPU ENU path). Load-time work — latency is irrelevant; only
+    # the projected (small, local) coordinates are cast to the working
+    # dtype afterwards.
     enu_origin = None
-    if frame == "utm":
-        x, y = geodesy.utm_forward(lons, lats, zone, south)
-        positions = jnp.stack([x, y, alts], axis=-1)
-    elif frame == "enu":
-        if like is not None and like.enu_origin is not None:
-            enu_origin = np.asarray(like.enu_origin)
-        else:
-            first = int(np.argmax(valid))
-            enu_origin = np.array(
-                [raw["lons"][first], raw["lats"][first], raw["alts"][first]]
+    with jax.enable_x64(True), jax.default_device(jax.devices("cpu")[0]):
+        lons = jnp.asarray(raw["lons"], jnp.float64)
+        lats = jnp.asarray(raw["lats"], jnp.float64)
+        alts = jnp.asarray(raw["alts"], jnp.float64)
+        if frame == "utm":
+            x, y = geodesy.utm_forward(lons, lats, zone, south)
+            positions64 = np.asarray(jnp.stack([x, y, alts], axis=-1))
+        elif frame == "enu":
+            if like is not None and like.enu_origin is not None:
+                enu_origin = np.asarray(like.enu_origin)
+            else:
+                first = int(np.argmax(valid))
+                enu_origin = np.array(
+                    [raw["lons"][first], raw["lats"][first], raw["alts"][first]]
+                )
+            positions64 = np.asarray(
+                geodesy.wgs84_to_enu(
+                    lons, lats, alts, enu_origin[0], enu_origin[1], enu_origin[2]
+                )
             )
-        positions = geodesy.wgs84_to_enu(
-            lons, lats, alts, enu_origin[0], enu_origin[1], enu_origin[2]
-        )
-    else:
-        raise ValueError(f"unknown frame {frame!r} (use 'utm' or 'enu')")
+        else:
+            raise ValueError(f"unknown frame {frame!r} (use 'utm' or 'enu')")
+    positions = jnp.asarray(positions64, dtype)
 
     times = jnp.asarray(raw["timestamps"], dtype)
     if filter_cfg.enabled and filter_cfg.use_sliding_window:
@@ -173,7 +183,7 @@ def load_and_project_gps(
     )
     return GPSData(
         timestamps=raw["timestamps"],
-        positions=np.asarray(positions),
+        positions=positions64,
         valid=np.asarray(keep),
         frame=frame,
         utm_zone=zone,

@@ -197,3 +197,55 @@ def test_fuse_plot_with_gt_overlay(tmp_path):
     )
     assert rc == 0
     assert png.exists() and png.stat().st_size > 50_000
+
+
+def test_fuse_batch_cli(tmp_path, capsys):
+    """fuse-batch: two pairs (real seq-04 + a synthetic sequence) bucketed,
+    fused in vmapped programs, reported and exported per sequence."""
+    # Synthetic second pair at a very different length -> two buckets.
+    rng = np.random.default_rng(0)
+    n = 100
+    t = np.arange(n) * 0.1
+    yaw = np.cumsum(np.full(n, 0.02))
+    pos = np.cumsum(0.4 * np.stack([np.cos(yaw), np.sin(yaw), np.zeros(n)], -1), 0)
+    quat = np.stack([np.zeros(n), np.zeros(n), np.sin(yaw / 2), np.cos(yaw / 2)], -1)
+    slam2 = tmp_path / "synth.tum"
+    np.savetxt(slam2, np.column_stack([t, pos, quat]))
+    # GNSS for it: lat/lon/alt near the KITTI area, walking east.
+    m = 90
+    gt = np.linspace(t[0], t[-1], m)
+    ge = np.stack([np.interp(gt, t, pos[:, k]) for k in range(3)], -1)
+    lat0, lon0 = 49.03, 8.39
+    lats = lat0 + (ge[:, 1] + rng.normal(size=m) * 0.02) / 111_320.0
+    lons = lon0 + (ge[:, 0] + rng.normal(size=m) * 0.02) / (
+        111_320.0 * np.cos(np.deg2rad(lat0))
+    )
+    alts = 112.0 + ge[:, 2]
+    gps2 = tmp_path / "synth_gps.txt"
+    np.savetxt(gps2, np.column_stack([gt + 1e9, lats, lons, alts]))
+    # SLAM times must overlap GPS times: rewrite synth.tum with the epoch.
+    np.savetxt(slam2, np.column_stack([t + 1e9, pos, quat]))
+
+    out_dir = tmp_path / "fused"
+    rc = main(
+        [
+            "fuse-batch",
+            f"{reference_fixture('yolotum04.txt')}:{reference_fixture('combined_output.txt')}",
+            f"{slam2}:{gps2}",
+            "--json",
+            "-o",
+            str(out_dir),
+        ]
+    )
+    assert rc == 0
+    captured = capsys.readouterr().out
+    payload = json.loads(captured[: captured.rindex("}") + 1])
+    assert payload["buckets"] == 2
+    rows = payload["sequences"]
+    assert len(rows) == 2
+    assert all(r["ok"] for r in rows)
+    assert abs(rows[0]["sim3_scale"] - 0.986986) < 1e-4  # seq-04 golden scale
+    assert rows[0]["poses"] == 271 and rows[1]["poses"] == 100
+    assert rows[1]["ate_rmse_m"] < 0.2
+    assert os.path.exists(rows[0]["output"]) and os.path.exists(rows[1]["output"])
+    assert np.loadtxt(rows[1]["output"]).shape == (100, 8)
