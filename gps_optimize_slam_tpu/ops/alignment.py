@@ -577,29 +577,41 @@ def sim3_window_mask(
     if the first run has < min_samples points use ALL valid points; if the
     truncated window has < min_samples points use the whole first run.
 
-    Returns a boolean mask over SLAM indices (static shape).
+    Returns a boolean mask over SLAM indices (static shape). Assumes
+    ``slam_times`` is time-ordered (the invariant the whole pipeline — and
+    the reference — relies on); the valid timestamps are then already in
+    sorted order, so the first-gap analysis is pure prefix arithmetic (the
+    previous implementation's compaction argsort was the hot spot of this
+    stage at scale).
     """
-    n = slam_times.shape[0]
-    big = slam_times[-1] + jnp.asarray(1.0, slam_times.dtype)
-    # Times of valid points, compacted to the front.
-    order = jnp.argsort(jnp.where(valid, 0, 1), stable=True)
-    vt = jnp.where(valid[order], slam_times[order], _INF)
+    dtype = slam_times.dtype
     n_valid = jnp.sum(valid)
-    # First gap among consecutive valid times. Only pairs where BOTH entries
-    # are real valid times count — the valid→_INF boundary diff is not a gap.
-    diffs = jnp.diff(vt)
-    real_pair = jnp.arange(n - 1) < (n_valid - 1)
-    gap_pos = jnp.where((diffs > gap_threshold) & real_pair, jnp.arange(n - 1), n)
-    first_gap = jnp.min(jnp.concatenate([gap_pos, jnp.asarray([n])]))
-    # Count of points in the first run. The reference slices
-    # valid_indices[:first_gap_idx] (EKFGPSSLAM.py:982-984) — the point ON the
-    # gap boundary (index first_gap) is EXCLUDED from the first segment; with
-    # no gap the segment is all n_valid points.
-    run_len = jnp.minimum(jnp.where(first_gap < n, first_gap, n), n_valid)
-    run_start_t = vt[0]
-    run_end_t = vt[jnp.clip(run_len - 1, 0, n - 1)]
+    rank = jnp.cumsum(valid.astype(jnp.int32))  # 1-based among valid points
 
-    in_first_run = valid & (slam_times <= jnp.where(jnp.isfinite(run_end_t), run_end_t, big))
+    # Time of the PREVIOUS valid point (exclusive prefix max works because
+    # times ascend): -inf before the first valid point.
+    t_masked = jnp.where(valid, slam_times, -_INF)
+    prev_t = jnp.concatenate(
+        [jnp.full((1,), -_INF, dtype), jax.lax.cummax(t_masked)[:-1]]
+    )
+    # A "gap pair" sits at the RIGHT point of two consecutive valid samples.
+    gap_pair = valid & (rank >= 2) & ((slam_times - prev_t) > gap_threshold)
+    # Rank of the first gap's right point; n+1 when gap-free.
+    first_gap_rank = jnp.min(
+        jnp.where(gap_pair, rank, jnp.iinfo(jnp.int32).max)
+    )
+    # The reference slices valid_indices[:first_gap_idx]
+    # (EKFGPSSLAM.py:982-984) — the LEFT point of the gap pair (the first
+    # segment's last point) is EXCLUDED, so the run keeps ranks
+    # 1..first_gap_rank-2; with no gap the segment is all n_valid points.
+    run_len = jnp.minimum(first_gap_rank - 2, n_valid)
+
+    run_start_t = jnp.min(jnp.where(valid, slam_times, _INF))
+    # Time of the valid point with rank == run_len (the run's last point).
+    at_end = valid & (rank == run_len)
+    run_end_t = jnp.max(jnp.where(at_end, slam_times, -_INF))
+
+    in_first_run = valid & (slam_times <= run_end_t)
     timed = in_first_run & (slam_times <= run_start_t + max_duration)
 
     n_run = jnp.sum(in_first_run)
