@@ -24,6 +24,213 @@ import numpy as np
 BASELINE_E2E_MS = 260.0  # reference best-case end-to-end (BASELINE.md)
 N_TIMING_RUNS = 30
 
+# KITTI odometry sequence lengths (00-10) — the all-KITTI scale workload.
+KITTI_LENGTHS = [4541, 1101, 4661, 801, 271, 2761, 1101, 1101, 4071, 1591, 1201]
+
+
+def real_derived_sequences(lengths=KITTI_LENGTHS):
+    """All-KITTI-scale sequences DERIVED FROM REAL DATA (VERDICT r2 task 6):
+    each sequence concatenates time-shifted replicas of the real seq-04
+    fixture — SLAM estimate `/root/reference/yolotum04.txt` and the oxts
+    GNSS fixes `/root/reference/combined_output.txt` (ENU-projected,
+    RANSAC-gated once at load) — so GNSS noise, timing jitter, and the Q3
+    clock-drift quirk are the real thing, not a model.
+
+    Replica continuity: each stream is shifted by ITS OWN end−start vector,
+    which preserves the global SLAM→ENU Sim(3) exactly (if enu ≈ S(slam),
+    then enu + k·Δenu ≈ S(slam + k·Δslam) because Δenu ≈ S-linear(Δslam));
+    the real ~1 m end-point mismatch between the streams accumulates per
+    replica — realistic SLAM drift the EKF must absorb. Small fresh noise
+    (2 cm) decorrelates replica GPS. Timestamps shift by a common period so
+    the two clocks stay in sync (the within-replica Q3 drift is preserved).
+    """
+    from gps_optimize_slam_tpu import pipeline
+    from gps_optimize_slam_tpu.config import FusionConfig
+    from gps_optimize_slam_tpu.io import tum as tum_io
+
+    slam = tum_io.read_tum("/root/reference/yolotum04.txt")
+    gps = pipeline.load_and_project_gps(
+        "/root/reference/combined_output.txt",
+        FusionConfig().gps_filtering_ransac,
+        frame="enu",
+    )
+    st0 = np.asarray(slam["timestamps"], np.float64)
+    sp0 = np.asarray(slam["positions"], np.float64)
+    sq0 = np.asarray(slam["quaternions"], np.float64)
+    gt0 = np.asarray(gps.timestamps, np.float64)
+    gp0 = np.asarray(gps.positions, np.float64)
+    gv0 = np.asarray(gps.valid)
+    n0 = len(st0)
+    period = max(st0[-1] - st0[0], gt0[-1] - gt0[0]) + 2.0
+    dstep_s = (sp0[-1] - sp0[0]) * (1.0 + 1.0 / n0)
+    dstep_g = (gp0[-1] - gp0[0]) * (1.0 + 1.0 / len(gt0))
+
+    rng = np.random.default_rng(0)
+    out = []
+    for n in lengths:
+        reps = -(-n // n0)
+        ks = np.arange(reps)
+        st = np.concatenate([st0 + k * period for k in ks])[:n]
+        sp = np.concatenate([sp0 + k * dstep_s for k in ks])[:n]
+        sq = np.tile(sq0, (reps, 1))[:n]
+        gt = np.concatenate([gt0 + k * period for k in ks])
+        gp = np.concatenate(
+            [gp0 + k * dstep_g + rng.normal(size=gp0.shape) * 0.02 for k in ks]
+        )
+        gv = np.tile(gv0, reps)
+        keep = gt <= st[-1] + 2.0  # trim GNSS past the (truncated) SLAM end
+        out.append(
+            (
+                {"timestamps": st, "positions": sp, "quaternions": sq},
+                gt[keep],
+                gp[keep],
+                gv[keep],
+            )
+        )
+    return out
+
+
+def _chained_device_ms(jax, jnp, one, bucket_args, dtype, k_iters=10, repeats=5):
+    """Sustained per-iteration device time: all buckets fused K times in ONE
+    dispatch (keys folded per iteration so XLA cannot CSE the body) — the
+    tunnel's ~35 ms dispatch RTT amortises away."""
+
+    @jax.jit
+    def chained(all_keys):
+        def body(i, acc):
+            tot = acc
+            for ba, bk in zip(bucket_args, all_keys):
+                ki = jax.vmap(lambda k: jax.random.fold_in(k, i))(bk)
+                o = jax.vmap(one)(*ba[:6], ki, *ba[7:])
+                tot = tot + jnp.sum(o.corrected_pos) + jnp.sum(o.sim3.scale)
+            return tot
+
+        return jax.lax.fori_loop(0, k_iters, body, jnp.zeros((), dtype))
+
+    bkeys = tuple(ba[6] for ba in bucket_args)
+    np.asarray(chained(bkeys))  # compile + warm
+    ts = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        np.asarray(chained(bkeys))
+        ts.append((time.perf_counter() - t0) * 1e3)
+    return float(np.median(ts)) / k_iters
+
+
+def scale_section(jax, jnp, sequences, dtype, label):
+    """All-KITTI-scale fusion numbers for a list of (slam, gt, gp, valid):
+    full-padded-batch device time and length-bucketed device time (both
+    chained-dispatch), poses/sec, and padding accounting."""
+    from gps_optimize_slam_tpu.config import FusionConfig
+    from gps_optimize_slam_tpu.models import fusion
+    from gps_optimize_slam_tpu.parallel import batch as pbatch
+
+    cfg = FusionConfig()
+    slams = [s for s, _, _, _ in sequences]
+    gts = [g for _, g, _, _ in sequences]
+    gps_list = [g for _, _, g, _ in sequences]
+    valids = [v for _, _, _, v in sequences]
+    total_poses = sum(len(s["timestamps"]) for s in slams)
+    keys_host = np.stack(
+        [np.asarray(jax.random.PRNGKey(i)) for i in range(len(slams))]
+    )
+
+    def one(st, sp, sq, gt_, gp_, gv, k, sm, toff):
+        return fusion.fuse_core(
+            st, sp, sq, gt_, gp_, gv, k, config=cfg, slam_mask=sm, time_offset=toff
+        )
+
+    def stage(idxs, bb):
+        ha = (
+            np.asarray(bb.slam_times, dtype),
+            np.asarray(bb.slam_pos, dtype),
+            np.asarray(bb.slam_quat, dtype),
+            np.asarray(bb.gps_times, dtype),
+            np.asarray(bb.gps_pos, dtype),
+            np.asarray(bb.gps_valid),
+            keys_host[idxs],
+            np.asarray(bb.slam_mask),
+            np.zeros(len(idxs), dtype),
+        )
+        return tuple(jax.device_put(a) for a in ha)
+
+    b = pbatch.pad_batch(slams, gts, gps_list, valids, pad_multiple=128)
+    full_args = [stage(np.arange(len(slams)), b)]
+    # Correctness gate: the batch must actually converge before timing.
+    out = jax.jit(jax.vmap(one))(*full_args[0])
+    assert bool(jnp.all(out.ok)), f"{label}: batched fusion did not converge"
+    device_ms = _chained_device_ms(jax, jnp, one, full_args, dtype)
+
+    buckets = pbatch.bucket_by_length(
+        slams, gts, gps_list, valids, max_waste=2.0, pad_multiple=128
+    )
+    bucket_args = [stage(np.asarray(idxs), bb) for idxs, bb in buckets]
+    bucketed_ms = _chained_device_ms(jax, jnp, one, bucket_args, dtype)
+
+    best = min(device_ms, bucketed_ms)
+    return {
+        f"{label}_device_ms": round(device_ms, 2),
+        f"{label}_bucketed_ms": round(bucketed_ms, 2),
+        f"{label}_poses_per_sec": round(total_poses / (best / 1e3), 0),
+        f"{label}_total_poses": total_poses,
+        f"{label}_padded_poses": int(b.slam_times.size),
+        f"{label}_bucketed_padded_poses": int(
+            sum(bb.slam_times.size for _, bb in buckets)
+        ),
+    }
+
+
+def pallas_nn_section(jax, jnp, n=23201, m=23900):
+    """Compile (NOT interpret) and run the Pallas tiled NN kernel at
+    all-KITTI scale on this platform, assert parity against the jnp path,
+    and report its sustained device time (VERDICT r2 task 2)."""
+    from gps_optimize_slam_tpu.ops import metrics
+    from gps_optimize_slam_tpu.ops.pallas_kernels import nn_min_dist2
+
+    rng = np.random.default_rng(0)
+    traj = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32) * 100)
+    cands = jnp.asarray(rng.normal(size=(m, 3)).astype(np.float32) * 100)
+    mask = jnp.asarray(rng.random(m) > 0.1)
+
+    out = nn_min_dist2(traj, cands, mask)  # Mosaic compile + run
+    out.block_until_ready()
+
+    # Parity vs the fused jnp formulation, evaluated in row chunks (the
+    # full (N, M) matrix is exactly what the kernel exists to avoid).
+    c = 4096
+    ok = True
+    max_dev = 0.0
+    for i in range(0, n, c):
+        d2 = jnp.sum((traj[i : i + c, None, :] - cands[None, :, :]) ** 2, -1)
+        d2 = jnp.where(mask[None, :], d2, jnp.inf)
+        ref = jnp.min(d2, axis=1)
+        dev = float(jnp.max(jnp.abs(out[i : i + c] - ref)))
+        max_dev = max(max_dev, dev)
+        ok &= dev <= 1e-3
+    # Sustained device time: K chained kernel calls in one dispatch.
+    K = 20
+
+    @jax.jit
+    def chained(t0):
+        def body(i, acc):
+            d = nn_min_dist2(t0 + acc * 0, cands, mask)
+            return acc + d[i]
+
+        return jax.lax.fori_loop(0, K, body, jnp.zeros((), jnp.float32))
+
+    np.asarray(chained(traj))
+    ts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        np.asarray(chained(traj))
+        ts.append((time.perf_counter() - t0) * 1e3)
+    return {
+        "pallas_nn_ok": bool(ok),
+        "pallas_nn_max_dev": max_dev,
+        "pallas_nn_device_ms": round(float(np.median(ts)) / K, 2),
+        "pallas_nn_points": n,
+    }
+
 
 def _enable_compile_cache():
     """Persistent compilation cache — repeat bench runs skip the slow
@@ -168,6 +375,43 @@ def main():
         ts.append((time.perf_counter() - t0) * 1e3)
     transfer_ms = float(np.median(ts))
 
+    # --- North-star sections (recorded in the SAME driver artifact so
+    # BENCH_rNN.json itself proves the <50 ms all-KITTI target, on both a
+    # synthetic and a real-data-derived workload — VERDICT r2 tasks 1/6;
+    # plus the compiled-Pallas proof, task 2). Skipped only if a section
+    # fails, with the error recorded instead of silence. ---
+    scale_extras = {}
+    try:
+        from bench_scale import synth_sequence
+
+        synth = [
+            ({"timestamps": s["timestamps"], "positions": s["positions"],
+              "quaternions": s["quaternions"]}, gt_, gp_, v)
+            for s, gt_, gp_, v in (
+                synth_sequence(n, i) for i, n in enumerate(KITTI_LENGTHS)
+            )
+        ]
+        scale_extras.update(scale_section(jax, jnp, synth, dtype, "scale"))
+        scale_extras["scale_synthetic"] = True
+    except Exception as e:
+        scale_extras["scale_error"] = f"{type(e).__name__}: {e}"
+    try:
+        real = real_derived_sequences()
+        scale_extras.update(scale_section(jax, jnp, real, dtype, "scale_real"))
+        scale_extras["scale_real_synthetic"] = False
+        scale_extras["scale_real_source"] = "seq-04 fixture replicas (real GNSS noise/timing)"
+    except Exception as e:
+        scale_extras["scale_real_error"] = f"{type(e).__name__}: {e}"
+    try:
+        if platform != "cpu":
+            scale_extras.update(pallas_nn_section(jax, jnp))
+        else:
+            scale_extras["pallas_nn_ok"] = "skipped: cpu platform (Mosaic needs TPU)"
+    except Exception as e:
+        scale_extras["pallas_nn_ok"] = False
+        scale_extras["pallas_nn_error"] = f"{type(e).__name__}: {e}"
+    scale_extras["north_star_ms"] = 50.0
+
     result = {
         "metric": "kitti04_full_fusion_wall_clock",
         "value": round(wall_ms, 3),
@@ -183,6 +427,7 @@ def main():
         "transfer_ms": round(transfer_ms, 3),
         "sim3_scale": round(float(out.sim3.scale), 6),
         **extras,
+        **scale_extras,
     }
     print(json.dumps(result))
 

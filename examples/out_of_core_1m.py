@@ -1,10 +1,12 @@
 #!/usr/bin/env python
-"""Out-of-core fusion of a trajectory larger than device memory.
+"""Out-of-core fusion of a trajectory larger than device memory — from RAW
+(unaligned) GNSS.
 
-Streams a long host-resident (memmap-compatible) trajectory through
-fixed-size device chunks (`ops.kalman_chunked`): the associative Kalman
-filter/smoother re-enter across chunks via carried composite elements, so
-device residency is O(chunk_size) regardless of trajectory length.
+The FULL pipeline runs chunked (models.fusion_chunked): gap-aware cubic
+temporal alignment over chunk+halo GPS windows, host Sim3 window selection,
+streaming RANSAC/Umeyama, and the re-entrant associative EKF+RTS
+(ops.kalman_chunked) — device residency is O(chunk_size) regardless of
+trajectory length; host arrays may be memmaps.
 
     python examples/out_of_core_1m.py [--poses 200000] [--chunk 65536]
 """
@@ -27,8 +29,8 @@ def main():
 
     import jax
 
-    from gps_optimize_slam_tpu.config import EKFConfig, RTSDecisionConfig
-    from gps_optimize_slam_tpu.ops import kalman_chunked
+    from gps_optimize_slam_tpu.config import FusionConfig
+    from gps_optimize_slam_tpu.models import fusion_chunked
 
     platform = jax.devices()[0].platform
     dtype = np.float32 if platform != "cpu" else np.float64
@@ -42,21 +44,36 @@ def main():
     quat = np.stack(
         [np.zeros(n), np.zeros(n), np.sin(yaw / 2), np.cos(yaw / 2)], -1
     ).astype(dtype)
-    gps = (pos * 1.02 + rng.normal(size=(n, 3)) * 0.05).astype(dtype)
-    valid = np.ones(n, bool)
-    valid[n // 3 : n // 3 + 400] = False  # a long GNSS outage
-    gps = np.where(valid[:, None], gps, np.nan).astype(dtype)
+
+    # RAW GNSS: its own clock (0.9 Hz, jittered — NOT the SLAM timestamps),
+    # metric scale vs the 0.97-scaled "monocular" SLAM, noise, invalid
+    # fixes, and a long outage. Nothing is pre-aligned.
+    m = int(n * 0.09)
+    gt = np.sort(rng.uniform(t[0], t[-1], m)).astype(dtype)
+    gp = np.stack([np.interp(gt, t, pos[:, k]) for k in range(3)], -1)
+    gp = (gp + rng.normal(size=(m, 3)) * 0.05).astype(dtype)
+    gv = np.ones(m, bool)
+    gv[rng.choice(m, m // 50, replace=False)] = False
+    gv[m // 3 : m // 3 + 60] = False  # ~60 s GNSS outage
+    slam_pos = (pos * 0.97).astype(dtype)  # monocular scale
 
     t0 = time.perf_counter()
-    out_pos, out_quat = kalman_chunked.fuse_ekf_rts_chunked(
-        t, pos, quat, pos[0], quat[0], gps, valid,
-        EKFConfig(), RTSDecisionConfig(), chunk_size=args.chunk, dtype=dtype,
+    out = fusion_chunked.fuse_core_chunked(
+        t, slam_pos, quat, gt, gp, gv,
+        key=jax.random.PRNGKey(0),
+        config=FusionConfig(),
+        chunk_size=args.chunk,
+        dtype=dtype,
     )
     dt = time.perf_counter() - t0
-    assert np.isfinite(out_pos).all()
+    assert out.ok, "Sim3 failed"
+    assert np.isfinite(out.corrected_pos).all()
+    scale = float(np.asarray(out.sim3.scale))
+    assert abs(scale - 1.0 / 0.97) < 0.01, scale
     print(
-        f"{n} poses through {args.chunk}-pose chunks on {platform}: "
-        f"{dt:.1f}s ({n/dt:,.0f} poses/s incl. host streaming)"
+        f"{n} poses + {m} RAW GNSS fixes through {args.chunk}-pose chunks on "
+        f"{platform}: {dt:.1f}s ({n/dt:,.0f} poses/s incl. host streaming); "
+        f"sim3 scale {scale:.4f}, {int(out.gps_valid.sum())} aligned samples"
     )
 
 

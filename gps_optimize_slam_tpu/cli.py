@@ -7,9 +7,12 @@ Replaces the reference's tkinter dialog flow (EKFGPSSLAM.py:669-674,
         [--frame auto|utm|enu] [--plot out.png] [--json] [--config cfg.json]
         [--rts-mode outage|full] [--ekf-scan auto|sequential|parallel]
         [--estimate-offset off|faithful|xcorr|xcorr_device] [--meas-noise SX SY SZ]
-        [--no-gps-filter]
+        [--no-gps-filter] [--robust [--robust-gate CHI2] [--robust-iters N]]
     python -m gps_optimize_slam_tpu fuse-batch SLAM1:GPS1 SLAM2:GPS2 ...
         [-o OUT_DIR] [--max-waste W] [--estimate-offsets] [--json]
+    python -m gps_optimize_slam_tpu refine-graph SLAM.tum GPS.txt [-o OUT]
+        [--iterations N] [--cg-iters N] [--no-loops] [--loop-radius M]
+        [--loop-min-gap S] [--max-loops K] [--checkpoint-dir DIR] [--json]
     python -m gps_optimize_slam_tpu kitti2tum POSES TIMES OUT
     python -m gps_optimize_slam_tpu oxts-extract OXTS_DIR [-o OUT]
         [--offset SECONDS] [--single-offset]
@@ -95,6 +98,9 @@ def _cmd_fuse(args) -> int:
         frame=frame,
         seed=args.seed,
         gt_path=args.gt,
+        robust=args.robust,
+        robust_gate_chi2=args.robust_gate,
+        robust_iterations=args.robust_iters,
     )
 
     if args.json:
@@ -126,6 +132,12 @@ def _cmd_fuse(args) -> int:
             "nn_vs_primary": eval_block(ev)["nn"],
             "ate_vs_primary": eval_block(ev)["ate"],
         }
+        if result.robust_accepted is not None:
+            import numpy as np
+
+            gv = np.asarray(result.outputs.gps_valid)
+            out["robust_accepted"] = int(result.robust_accepted.sum())
+            out["robust_rejected"] = int((~result.robust_accepted & gv).sum())
         if result.gt_evaluation is not None:
             gt_block = eval_block(result.gt_evaluation)
             out["nn_vs_ground_truth"] = gt_block["nn"]
@@ -243,6 +255,79 @@ def _cmd_fuse_batch(args) -> int:
     return 0 if all(r["ok"] for r in rows) else 1
 
 
+def _cmd_refine_graph(args) -> int:
+    """Fuse, then refine globally with the matrix-free GN pose-graph solver
+    (models.pose_graph) seeded from the fusion result, with loop closures
+    proposed by proximity over the fused trajectory."""
+    import numpy as np
+
+    from gps_optimize_slam_tpu import pipeline
+    from gps_optimize_slam_tpu.io import tum as tum_io
+    from gps_optimize_slam_tpu.utils.logging import enable as enable_logging
+
+    if args.verbose:
+        enable_logging()
+    config = _build_config(args)
+    frame = _resolve_frame(args.frame)
+    result = pipeline.fuse_files(
+        args.slam, args.gps, config=config, frame=frame, seed=args.seed
+    )
+    gn, loop_info = pipeline.refine_pose_graph(
+        result,
+        iterations=args.iterations,
+        cg_iters=args.cg_iters,
+        propose_loops=not args.no_loops,
+        loop_radius=args.loop_radius,
+        loop_min_time_gap=args.loop_min_gap,
+        max_loops=args.max_loops,
+        checkpoint_dir=args.checkpoint_dir,
+    )
+    costs = np.asarray(gn.cost_history)
+    refined_pos = np.asarray(gn.state.positions)
+
+    # Post-refinement ATE vs the aligned GPS (same gate as fuse-batch).
+    ts = np.asarray(result.slam["timestamps"])
+    aligned = np.asarray(result.outputs.aligned_gps)
+    gate = (
+        np.asarray(result.outputs.gps_valid)
+        & np.isfinite(aligned).all(-1)
+        & (ts > ts[0] + 5.0)
+    )
+    err = np.linalg.norm(refined_pos - aligned, axis=-1)[gate]
+    ate_rmse = float(np.sqrt(np.mean(err**2))) if err.size else None
+
+    report = {
+        "poses": len(ts),
+        "gn_iterations": args.iterations,
+        "initial_cost": float(costs[0]),
+        "final_cost": float(costs[-1]),
+        "cost_reduction_pct": round(
+            100.0 * (1.0 - float(costs[-1]) / max(float(costs[0]), 1e-30)), 2
+        ),
+        "loops_proposed": loop_info["n_loops"],
+        "loop_pairs": loop_info["loop_ij"],
+        "ate_rmse_m": round(ate_rmse, 4) if ate_rmse is not None else None,
+    }
+    if args.json:
+        print(json.dumps(report, indent=2))
+    else:
+        print(
+            f"pose graph: {report['poses']} poses, "
+            f"{report['loops_proposed']} loop closures, cost "
+            f"{report['initial_cost']:.4g} -> {report['final_cost']:.4g} "
+            f"({report['cost_reduction_pct']}%), ate_rmse={report['ate_rmse_m']}m"
+        )
+    if args.output:
+        tum_io.write_tum(
+            args.output,
+            ts,
+            refined_pos,
+            np.asarray(gn.state.quaternions),
+        )
+        print(f"saved: {args.output}")
+    return 0
+
+
 def _cmd_kitti2tum(args) -> int:
     from gps_optimize_slam_tpu.io.kitti import kitti_to_tum_file
 
@@ -319,6 +404,25 @@ def build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="disable the polynomial-RANSAC GPS outlier gate",
     )
+    f.add_argument(
+        "--robust",
+        action="store_true",
+        help="χ²-gated robust fusion (NIS innovation gate, models.robust): "
+        "rejects GNSS measurements inconsistent with the filter state",
+    )
+    f.add_argument(
+        "--robust-gate",
+        type=float,
+        default=None,
+        metavar="CHI2",
+        help="χ² gate threshold (default: 95th pct of chi-square, 3 dof)",
+    )
+    f.add_argument(
+        "--robust-iters",
+        type=int,
+        default=2,
+        help="fixed-point iterations of the gate decisions",
+    )
     f.set_defaults(fn=_cmd_fuse)
 
     fb = sub.add_parser(
@@ -356,6 +460,46 @@ def build_parser() -> argparse.ArgumentParser:
     fb.add_argument("--no-gps-filter", action="store_true")
     fb.set_defaults(fn=_cmd_fuse_batch)
 
+    rg = sub.add_parser(
+        "refine-graph",
+        help="global pose-graph refinement (GN+CG) of a fusion result, "
+        "with proximity-proposed loop closures",
+    )
+    rg.add_argument("slam", help="TUM-format SLAM trajectory")
+    rg.add_argument("gps", help="GNSS fixes: ts lat lon alt ...")
+    rg.add_argument("-o", "--output", help="output TUM path (refined trajectory)")
+    rg.add_argument(
+        "--frame", choices=["auto", "utm", "enu"], default="auto"
+    )
+    rg.add_argument("--seed", type=int, default=0)
+    rg.add_argument("--json", action="store_true")
+    rg.add_argument("-v", "--verbose", action="store_true")
+    rg.add_argument("--config", help="JSON config file (reference CONFIG layout)")
+    rg.add_argument("--iterations", type=int, default=10, help="GN iterations")
+    rg.add_argument("--cg-iters", type=int, default=50, help="CG iterations per GN step")
+    rg.add_argument(
+        "--no-loops",
+        action="store_true",
+        help="skip loop-closure proposal (GPS priors + odometry only)",
+    )
+    rg.add_argument(
+        "--loop-radius",
+        type=float,
+        default=5.0,
+        help="max revisit distance (m) for a loop-closure candidate",
+    )
+    rg.add_argument(
+        "--loop-min-gap",
+        type=float,
+        default=30.0,
+        help="min elapsed time (s) between the two poses of a closure",
+    )
+    rg.add_argument("--max-loops", type=int, default=32)
+    rg.add_argument(
+        "--checkpoint-dir", help="orbax checkpoint/resume directory for the GN loop"
+    )
+    rg.set_defaults(fn=_cmd_refine_graph)
+
     k = sub.add_parser("kitti2tum", help="KITTI poses+times -> TUM file")
     k.add_argument("poses")
     k.add_argument("times")
@@ -378,6 +522,12 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    # Persistent XLA compile cache: the first-ever run compiles the fused
+    # programs (minutes on small CPU hosts); every later CLI invocation
+    # loads them in milliseconds.
+    from gps_optimize_slam_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     return args.fn(args)
 
 

@@ -62,6 +62,12 @@ class GPSFilterConfig:
     min_samples: int = 6
     residual_threshold_meters: float = 10.0
     max_trials: int = 50
+    # Adaptive early stopping (framework extension, mirrors
+    # Sim3RansacConfig.stop_probability): None = faithful fixed trial count
+    # per window×axis; a probability p runs trial chunks under a while_loop
+    # until the sklearn ln(1−p)/ln(1−w^k) bound is met.
+    stop_probability: float | None = None
+    adaptive_chunk: int = 10
 
 
 @dataclasses.dataclass(frozen=True)

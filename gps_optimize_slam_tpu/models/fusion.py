@@ -163,7 +163,7 @@ def evaluate(
     cand_mask = gate  # the reference's candidate set is the same gated rows
 
     def nn(traj):
-        e = metrics.nn_errors(traj, cands, gate, cand_mask)
+        e = metrics.nn_errors_auto(traj, cands, gate, cand_mask)
         return metrics.error_stats(e, gate)
 
     def ate(traj):
@@ -208,7 +208,7 @@ def evaluate_vs_track(
     cands = jnp.nan_to_num(al.aligned, nan=0.0)
 
     def nn(traj):
-        e = metrics.nn_errors(traj, cands, gate, gate)
+        e = metrics.nn_errors_auto(traj, cands, gate, gate)
         return metrics.error_stats(e, gate)
 
     def ate(traj):

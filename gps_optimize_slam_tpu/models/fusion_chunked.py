@@ -1,0 +1,198 @@
+"""Out-of-core fusion driver: RAW GNSS + SLAM streams of any length.
+
+The chunked counterpart of ``models.fusion.fuse_core`` (the reference's
+whole 7-step recipe, EKFGPSSLAM.py:940-1123): temporal alignment
+(``ops.alignment_chunked``), Sim3 window selection + streaming
+RANSAC/Umeyama, trajectory transform, and the re-entrant associative
+EKF+RTS (``ops.kalman_chunked``) — every stage O(chunk) device-resident,
+host arrays may be memmaps. Use this when a trajectory exceeds device
+memory; for anything that fits, ``fuse_core`` is one fused program and
+strictly faster.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import NamedTuple, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from gps_optimize_slam_tpu.config import FusionConfig
+from gps_optimize_slam_tpu.ops import alignment_chunked, kalman_chunked, se3
+from gps_optimize_slam_tpu.ops.umeyama import Sim3
+
+
+class ChunkedFusionResult(NamedTuple):
+    corrected_pos: np.ndarray  # (N,3)
+    corrected_quat: np.ndarray  # (N,4)
+    sim3: Sim3
+    aligned_gps: np.ndarray  # (N,3)
+    gps_valid: np.ndarray  # (N,)
+    num_inliers: int
+    ok: bool
+
+
+@lru_cache(maxsize=8)
+def _transform_kernel(dtype_name: str):
+    dtype = jnp.dtype(dtype_name)
+
+    @jax.jit
+    def kernel(pos, quat, R, t, s):
+        return se3.transform_trajectory(
+            pos.astype(dtype), quat.astype(dtype), R, t, s
+        )
+
+    return kernel
+
+
+def transform_trajectory_chunked(
+    slam_pos,
+    slam_quat,
+    sim3: Sim3,
+    chunk_size: int = 262144,
+    dtype=np.float64,
+    out_pos: Optional[np.ndarray] = None,
+    out_quat: Optional[np.ndarray] = None,
+):
+    """``se3.transform_trajectory`` streamed over host chunks."""
+    n = len(slam_pos)
+    dtype = np.dtype(dtype)
+    if out_pos is None:
+        out_pos = np.empty((n, 3), dtype)
+    if out_quat is None:
+        out_quat = np.empty((n, 4), dtype)
+    kernel = _transform_kernel(dtype.name)
+    jdt = jnp.dtype(dtype.name)
+    R = jnp.asarray(np.asarray(sim3.R), jdt)
+    t = jnp.asarray(np.asarray(sim3.t), jdt)
+    s = jnp.asarray(np.asarray(sim3.scale), jdt)
+    for a in range(0, n, chunk_size):
+        b = min(a + chunk_size, n)
+        p, q = kernel(
+            jax.device_put(np.asarray(slam_pos[a:b], dtype)),
+            jax.device_put(np.asarray(slam_quat[a:b], dtype)),
+            R,
+            t,
+            s,
+        )
+        out_pos[a:b] = np.asarray(p)
+        out_quat[a:b] = np.asarray(q)
+    return out_pos, out_quat
+
+
+def fuse_core_chunked(
+    slam_times,
+    slam_pos,
+    slam_quat,
+    gps_times,
+    gps_positions,
+    gps_valid=None,
+    key: Optional[jax.Array] = None,
+    config: FusionConfig = FusionConfig(),
+    time_offset: float = 0.0,
+    chunk_size: int = 262144,
+    halo: int = 64,
+    dtype=np.float64,
+    max_ransac_points: int = 32768,
+    out_pos: Optional[np.ndarray] = None,
+    out_quat: Optional[np.ndarray] = None,
+    return_sim3_trajectory: bool = False,
+):
+    """Full fusion of one arbitrarily long sequence from RAW GNSS.
+
+    Host-resident (memmappable) inputs; device residency O(chunk). Stages:
+
+    1. ``alignment_chunked.align_gps_to_slam_chunked`` — gap-aware cubic
+       interpolation onto SLAM timestamps (chunk + halo windows).
+    2. ``alignment_chunked.sim3_window_mask_host`` — the reference's calc
+       window (first gap-free run, ≤ max_initial_duration).
+    3. ``alignment_chunked.sim3_ransac_streaming`` — robust Sim(3); trials
+       on ≤ ``max_ransac_points`` in-core, refit streamed over all inliers.
+    4. ``kalman_chunked.fuse_ekf_rts_chunked`` — re-entrant EKF + RTS (the
+       EKF's motion model is the RAW SLAM relative pose, faithful to
+       reference EKFGPSSLAM.py:866; Sim3 enters through the initial state).
+
+    Returns ``ChunkedFusionResult`` (host arrays; ``out_*`` may be
+    memmapped). With ``return_sim3_trajectory=True`` the result tuple also
+    carries the Sim3-transformed trajectory (extra 2 chunked passes).
+    """
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    dtype = np.dtype(dtype)
+    n = len(slam_times)
+
+    aligned, valid = alignment_chunked.align_gps_to_slam_chunked(
+        slam_times,
+        gps_times,
+        gps_positions,
+        gps_valid=gps_valid,
+        time_offset=time_offset,
+        cfg=config.time_alignment,
+        chunk_size=chunk_size,
+        halo=halo,
+        dtype=dtype,
+    )
+
+    window = alignment_chunked.sim3_window_mask_host(
+        slam_times,
+        valid,
+        gap_threshold=config.time_alignment.max_gps_gap_threshold,
+        max_duration=config.sim3_ransac.max_initial_duration,
+        min_samples=config.sim3_ransac.min_samples,
+    )
+
+    sres = alignment_chunked.sim3_ransac_streaming(
+        key,
+        slam_pos,
+        np.nan_to_num(aligned, nan=0.0) if isinstance(aligned, np.ndarray) else aligned,
+        window,
+        cfg=config.sim3_ransac,
+        max_ransac_points=max_ransac_points,
+        chunk_size=chunk_size,
+        dtype=dtype,
+    )
+
+    # Initial state: the Sim3-transformed first pose (the only place the
+    # transform enters the filter — reference EKFGPSSLAM.py:842-845, 866).
+    p0, q0 = transform_trajectory_chunked(
+        np.asarray(slam_pos[:1], dtype),
+        np.asarray(slam_quat[:1], dtype),
+        sres.sim3,
+        dtype=dtype,
+    )
+
+    out_pos, out_quat = kalman_chunked.fuse_ekf_rts_chunked(
+        slam_times,
+        slam_pos,
+        slam_quat,
+        p0[0],
+        q0[0],
+        aligned,
+        valid,
+        ekf_cfg=config.ekf,
+        rts_cfg=config.rts_decision,
+        rts_mode=config.rts_mode,
+        chunk_size=chunk_size,
+        dtype=dtype,
+        out_pos=out_pos,
+        out_quat=out_quat,
+    )
+
+    result = ChunkedFusionResult(
+        corrected_pos=out_pos,
+        corrected_quat=out_quat,
+        sim3=sres.sim3,
+        aligned_gps=aligned,
+        gps_valid=valid,
+        num_inliers=sres.num_inliers,
+        ok=bool(np.asarray(sres.sim3.ok)),
+    )
+    if return_sim3_trajectory:
+        sim3_pos, sim3_quat = transform_trajectory_chunked(
+            slam_pos, slam_quat, sres.sim3, chunk_size=chunk_size, dtype=dtype
+        )
+        return result, (sim3_pos, sim3_quat)
+    return result

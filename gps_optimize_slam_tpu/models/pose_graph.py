@@ -24,7 +24,7 @@ array with a validity mask.
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple, Optional
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -241,6 +241,83 @@ def solve_pose_graph_checkpointed(
     return GNResult(
         state=state, cost_history=cost_history, final_cost=cost_history[-1]
     )
+
+
+@partial(jax.jit, static_argnames=("max_loops", "suppression_radius"))
+@highp
+def propose_loop_closures(
+    positions: jnp.ndarray,
+    times: jnp.ndarray,
+    quaternions: jnp.ndarray,
+    radius: float = 5.0,
+    min_time_gap: float = 30.0,
+    max_loops: int = 32,
+    suppression_radius: int = 25,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Proximity-based loop-closure proposal over a trajectory (the front
+    end the pose-graph solver was missing — VERDICT r2 task 5).
+
+    For every pose j, finds the nearest pose i at least ``min_time_gap``
+    seconds EARLIER; candidate revisits are pairs closer than ``radius``
+    metres. Candidates that are not the locally best revisit within
+    ``suppression_radius`` poses are suppressed (one closure per revisit
+    event, not a chain of near-duplicates), and the ``max_loops`` closest
+    survivors are kept. The measured relative pose is read from the
+    trajectory passed in — pass the trajectory you trust locally (e.g. raw
+    SLAM, which is drift-free over a single revisit) while optimising a
+    different initial state.
+
+    Fully jittable, fixed shapes: returns ``(loop_ij (max_loops, 2),
+    loop_dp (max_loops, 3), loop_dq (max_loops, 4), loop_valid
+    (max_loops,))`` ready for ``PoseGraphData``. O(N²) distance matrix —
+    the pose-graph solver is in-core anyway; for >HBM trajectories run it
+    on a fused-output subsample.
+    """
+    n = positions.shape[0]
+    dtype = positions.dtype
+    d2 = jnp.sum(
+        (positions[:, None, :] - positions[None, :, :]) ** 2, axis=-1
+    )
+    earlier = (times[None, :] - times[:, None]) > min_time_gap  # [i, j]
+    d2m = jnp.where(earlier, d2, jnp.inf)
+    best_i = jnp.argmin(d2m, axis=0)  # (n,) nearest sufficiently-old pose
+    best_d2 = jnp.min(d2m, axis=0)
+
+    # Non-minimum suppression: j survives only where best_d2 is the minimum
+    # over its ±suppression_radius neighbourhood (one closure per revisit).
+    w = suppression_radius
+    neigh_min = best_d2
+    for s in range(1, w + 1):
+        neigh_min = jnp.minimum(
+            neigh_min,
+            jnp.minimum(
+                jnp.roll(jnp.where(jnp.arange(n) < n - s, best_d2, jnp.inf), s),
+                jnp.roll(jnp.where(jnp.arange(n) >= s, best_d2, jnp.inf), -s),
+            ),
+        )
+    # Shifted copies above are padded with +inf at the wrapped edges, so the
+    # neighbourhood never wraps around the trajectory ends.
+    is_local_best = best_d2 <= neigh_min
+    score = jnp.where(
+        is_local_best & (best_d2 < radius * radius), best_d2, jnp.inf
+    )
+    top_score, j_sel = jax.lax.top_k(-score, max_loops)
+    loop_valid = jnp.isfinite(-top_score)
+    i_sel = best_i[j_sel]
+    loop_ij = jnp.stack([i_sel, j_sel], axis=-1).astype(jnp.int32)
+
+    q_i = quat.normalize(quaternions[i_sel])
+    q_j = quat.normalize(quaternions[j_sel])
+    q_i_inv = quat.conj(q_i)
+    loop_dp = quat.rotate(q_i_inv, positions[j_sel] - positions[i_sel]).astype(dtype)
+    loop_dq = quat.mul(q_i_inv, q_j).astype(dtype)
+    loop_dp = jnp.where(loop_valid[:, None], loop_dp, 0.0)
+    loop_dq = jnp.where(
+        loop_valid[:, None],
+        loop_dq,
+        jnp.zeros((4,), dtype).at[3].set(1.0),
+    )
+    return loop_ij, loop_dp, loop_dq, loop_valid
 
 
 def build_data_from_fusion(

@@ -93,7 +93,7 @@ def _gated_availability(
     return accepted, nis_full
 
 
-@partial(jax.jit, static_argnames=("ekf_cfg", "rts_cfg", "n_iterations"))
+@partial(jax.jit, static_argnames=("ekf_cfg", "rts_cfg", "n_iterations", "scan"))
 def fuse_robust(
     slam_times: jnp.ndarray,
     slam_pos: jnp.ndarray,
@@ -106,9 +106,15 @@ def fuse_robust(
     rts_cfg: RTSDecisionConfig = RTSDecisionConfig(),
     gate_chi2: float = CHI2_3DOF_95,
     n_iterations: int = 2,
+    scan: str = "auto",
 ) -> RobustFusionResult:
     """EKF + RTS fusion with χ²-gated GNSS updates, iterated to a fixed
-    point of the gate decisions."""
+    point of the gate decisions.
+
+    ``scan`` mirrors FusionConfig.ekf_scan: "auto" resolves to the O(log N)
+    associative path on accelerators and the sequential scan on CPU (whose
+    associative-path compile is minutes-slow on XLA:CPU — same trace-time
+    decision fuse_core makes); both produce the same trajectory."""
     dtype = slam_pos.dtype
     params = kalman.ekf_params(ekf_cfg, dtype=dtype)
     avail = valid_mask & ~jnp.any(jnp.isnan(aligned_gps), axis=-1)
@@ -120,7 +126,15 @@ def fuse_robust(
             aligned_gps, avail, accepted, params, gate_chi2,
         )
 
-    pos, q = kalman_parallel.fuse_ekf_rts_parallel(
+    use_parallel = scan == "parallel" or (
+        scan == "auto"
+        and rts_cfg.default_ekf_transition_steps_on_sharp_turn == 0
+        and jax.default_backend() != "cpu"
+    )
+    fuse_fn = (
+        kalman_parallel.fuse_ekf_rts_parallel if use_parallel else kalman.fuse_ekf_rts
+    )
+    pos, q = fuse_fn(
         slam_times, slam_pos, slam_quat, sim3_pos, sim3_quat,
         jnp.where(accepted[:, None], aligned_gps, jnp.nan),
         accepted, ekf_cfg, rts_cfg,

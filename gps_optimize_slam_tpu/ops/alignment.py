@@ -124,8 +124,13 @@ def estimate_time_offset_xcorr(
     max_lag = int(round(max_lag_seconds / grid_dt))
     # corr[k] = Σ a[i] · b[i + k]  for k in [-max_lag, max_lag]:
     # positive k ⇒ GPS events happen LATER on the grid ⇒ subtract k·dt.
+    # Same FFT circular cross-correlation as the device estimator
+    # (estimate_time_offset_xcorr_device) — one O(n log n) transform instead
+    # of an O(lags·n) roll loop; values identical to the rolled sum.
     lags = np.arange(-max_lag, max_lag + 1)
-    corr = np.array([np.sum(a * np.roll(b, -k)) for k in lags])
+    n_g = len(a)
+    corr_full = np.fft.irfft(np.conj(np.fft.rfft(a)) * np.fft.rfft(b), n=n_g)
+    corr = corr_full[lags % n_g]
     best = lags[int(np.argmax(corr))]
     return float(-best * grid_dt)
 
@@ -238,11 +243,21 @@ def _compact_sort(times: jnp.ndarray, positions: jnp.ndarray, valid: jnp.ndarray
         [jnp.zeros((1,), bool), t_sorted[1:] == t_sorted[:-1]]
     )
     keep = jnp.isfinite(t_sorted) & ~dup
-    # Compact: stable argsort on ~keep floats valid entries to the front.
-    order2 = jnp.argsort(jnp.where(keep, 0, 1), stable=True)
-    t_c = jnp.where(keep[order2], t_sorted[order2], _INF)
-    p_c = p_sorted[order2]
     n_eff = jnp.sum(keep)
+    # Single-pass compaction (no second sort): each row's destination is its
+    # rank among the kept rows (dropped rows go behind, in order), a unique
+    # permutation — scattering iota through it yields the gather order
+    # directly. One scatter replaces a full stable argsort (~1.5 ms at
+    # all-KITTI scale, ROADMAP perf lever).
+    ranks = jnp.cumsum(keep) - 1
+    dest = jnp.where(keep, ranks, n_eff + (jnp.arange(m) - ranks) - 1)
+    order2 = (
+        jnp.zeros((m,), dest.dtype)
+        .at[dest]
+        .set(jnp.arange(m, dtype=dest.dtype), unique_indices=True)
+    )
+    t_c = jnp.where(jnp.arange(m) < n_eff, t_sorted[order2], _INF)
+    p_c = p_sorted[order2]
     return t_c, p_c, n_eff
 
 
@@ -266,13 +281,12 @@ def _segment_structure(t: jnp.ndarray, n_eff, gap_threshold: float):
     seg_id = jnp.cumsum(is_start.astype(jnp.int32)) - 1
 
     # Per-point segment start = last start index ≤ j (forward cummax);
-    # segment end = next end index ≥ j (reverse trick on the same cummax).
+    # segment end = next end index ≥ j (reverse cummin — native reverse
+    # scan, no flip/un-flip data movement). The last row is always an end,
+    # so the sentinel m is never the minimum.
     start_idx = jax.lax.cummax(jnp.where(is_start, idx, -1))
     is_end = jnp.concatenate([gap, jnp.ones((1,), bool)])
-    end_rev = jax.lax.cummax(
-        jnp.flip(jnp.where(is_end, (m - 1) - idx, -1))
-    )
-    end_idx = (m - 1) - jnp.flip(end_rev)
+    end_idx = jax.lax.cummin(jnp.where(is_end, idx, m), axis=0, reverse=True)
 
     start_t = t[jnp.clip(start_idx, 0, m - 1)]
     end_t = t[jnp.clip(end_idx, 0, m - 1)]

@@ -16,8 +16,15 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 from gps_optimize_slam_tpu.utils.precision import highp
+
+# Work threshold (N·M) above which the tiled Pallas kernel beats the fused
+# O(N·M)-materialising jnp path on TPU (the crossover is where the (N, M)
+# distance matrix stops fitting the cache hierarchy; 4M elements ≈ 16 MB f32
+# — one VMEM's worth).
+PALLAS_NN_MIN_WORK = 4 * 1024 * 1024
 
 
 class ErrorStats(NamedTuple):
@@ -53,6 +60,27 @@ def nn_errors(
     d2 = jnp.where(cand_mask[None, :], d2, jnp.inf)
     err = jnp.sqrt(jnp.min(d2, axis=1))
     return jnp.where(traj_mask, err, jnp.inf)
+
+
+def nn_errors_auto(
+    traj: jnp.ndarray,
+    candidates: jnp.ndarray,
+    traj_mask: jnp.ndarray,
+    cand_mask: jnp.ndarray,
+) -> jnp.ndarray:
+    """``nn_errors`` with trace-time backend dispatch: on accelerators, above
+    ``PALLAS_NN_MIN_WORK`` distance evaluations, the tiled Pallas kernel
+    (ops.pallas_kernels) streams blocks through VMEM instead of materialising
+    the (N, M) matrix in HBM — the evaluator's scale path (replaces the
+    reference's cdist, EKFGPSSLAM.py:1030). On CPU (tests, virtual meshes)
+    the fused jnp path runs; results agree to f32 rounding (the kernel
+    computes the same unrolled Σ(aₖ−bₖ)² with no matmul cancellation)."""
+    n, m = traj.shape[0], candidates.shape[0]
+    if n * m >= PALLAS_NN_MIN_WORK and jax.default_backend() != "cpu":
+        from gps_optimize_slam_tpu.ops.pallas_kernels import nn_errors_pallas
+
+        return nn_errors_pallas(traj, candidates, traj_mask, cand_mask)
+    return nn_errors(traj, candidates, traj_mask, cand_mask)
 
 
 def paired_errors(

@@ -247,20 +247,75 @@ def gps_poly_ransac_mask(
         window_starts = jnp.asarray(window_starts, dtype)
         duration = cfg.window_duration_seconds
 
+    design_all = _poly_design(times, cfg.polynomial_degree)
+
     def axis_ransac(k, w_mask, y):
-        def trial(tk):
+        # Counts-only trials (like sim3_ransac): the (trials × m) inlier
+        # matrix never materialises; the winner's mask is recomputed from
+        # its PRNG key after the argmax.
+        def trial_fit(tk):
             idx = _sample_without_replacement(tk, w_mask, cfg.min_samples)
             X = _poly_design(times[idx], cfg.polynomial_degree)
             coef, _, _, _ = jnp.linalg.lstsq(X, y[idx])
-            pred = _poly_design(times, cfg.polynomial_degree) @ coef
-            res = jnp.abs(pred - y)
-            inl = (res < cfg.residual_threshold_meters) & w_mask
-            ok = jnp.all(jnp.isfinite(coef))
-            return jnp.where(ok, jnp.sum(inl), -1), inl
+            return coef
 
-        counts, inls = jax.vmap(trial)(jax.random.split(k, cfg.max_trials))
-        best = jnp.argmax(counts)
-        return inls[best], counts[best] >= 0
+        def trial_mask(coef):
+            res = jnp.abs(design_all @ coef - y)
+            return (res < cfg.residual_threshold_meters) & w_mask
+
+        def trial_count(tk):
+            coef = trial_fit(tk)
+            ok = jnp.all(jnp.isfinite(coef))
+            return jnp.where(ok, jnp.sum(trial_mask(coef)), -1).astype(jnp.int32)
+
+        if cfg.stop_probability is None:
+            keys = jax.random.split(k, cfg.max_trials)
+            counts = jax.vmap(trial_count)(keys)
+            best = jnp.argmax(counts)
+            best_key, best_count = keys[best], counts[best]
+        else:
+            # Adaptive early stopping (config-gated extension; sklearn's
+            # RANSACRegressor default is stop_probability=0.99 — the
+            # faithful default here stays fixed-count). Same chunked
+            # while_loop pattern as sim3_ransac.
+            import math
+
+            C = min(cfg.adaptive_chunk, cfg.max_trials)
+            n_chunks = -(-cfg.max_trials // C)
+            ckeys = jax.random.split(k, n_chunks * C).reshape(n_chunks, C, *k.shape)
+            log1mp = math.log1p(-min(cfg.stop_probability, 1.0 - 1e-12))
+            n_w = jnp.sum(w_mask)
+
+            def cond(state):
+                i, best_count, _ = state
+                w = jnp.clip(
+                    best_count.astype(y.dtype) / jnp.maximum(n_w, 1), 0.0, 1.0
+                )
+                eps1 = 16.0 * float(jnp.finfo(y.dtype).eps)
+                fail = jnp.clip(1.0 - w**cfg.min_samples, 1e-12, 1.0 - eps1)
+                n_needed = jnp.where(
+                    w >= 1.0, jnp.zeros((), y.dtype), log1mp / jnp.log(fail)
+                )
+                return (i < n_chunks) & ((i * C) < n_needed)
+
+            def body(state):
+                i, best_count, best_key = state
+                counts = jax.vmap(trial_count)(ckeys[i])
+                b = jnp.argmax(counts)
+                better = counts[b] > best_count
+                return (
+                    i + 1,
+                    jnp.where(better, counts[b], best_count),
+                    jnp.where(better, ckeys[i][b], best_key),
+                )
+
+            _, best_count, best_key = jax.lax.while_loop(
+                cond,
+                body,
+                (jnp.zeros((), jnp.int32), jnp.asarray(-1, jnp.int32), ckeys[0][0]),
+            )
+        inl = trial_mask(trial_fit(best_key))
+        return inl & (best_count >= 0), best_count >= 0
 
     def window_mask(k, start):
         if use_windows:

@@ -51,7 +51,6 @@ def umeyama_sim3(
     else:
         w = weights.astype(dtype)
     wsum = jnp.sum(w)
-    n_eff = wsum  # reference uses the point count; 0/1 weights reproduce it
     safe_wsum = jnp.where(wsum > 0, wsum, 1.0)
 
     src_centroid = jnp.sum(w[:, None] * src, axis=0) / safe_wsum
@@ -68,6 +67,34 @@ def umeyama_sim3(
         tuple(jnp.sum(ws[..., i] * dst_c[..., j], axis=-1) for i in range(3))
         for j in range(3)
     )
+    var_src_sum = jnp.sum(w * jnp.sum(src_c**2, axis=-1))
+    return umeyama_sim3_from_moments(
+        wsum, src_centroid, dst_centroid, H_cols, var_src_sum
+    )
+
+
+@highp
+def umeyama_sim3_from_moments(
+    wsum: jnp.ndarray,
+    src_centroid: jnp.ndarray,
+    dst_centroid: jnp.ndarray,
+    H_cols,
+    var_src_sum: jnp.ndarray,
+) -> Sim3:
+    """Umeyama Sim(3) from sufficient statistics — the streamable core.
+
+    ``wsum`` Σw, centroids Σw·x/Σw, ``H_cols[j][i]`` = Σ w·(src−μs)ᵢ(dst−μd)ⱼ
+    (SoA layout, or a (3,3) array with H[i,j] in that convention),
+    ``var_src_sum`` = Σ w·‖src−μs‖². These accumulate over chunks (two-pass
+    centering), which is how the out-of-core Sim3 refit
+    (ops.alignment_chunked) fits on arbitrarily long inlier streams with
+    O(chunk) device residency.
+    """
+    if not isinstance(H_cols, tuple):
+        H = jnp.asarray(H_cols)
+        H_cols = tuple(tuple(H[i, j] for i in range(3)) for j in range(3))
+    n_eff = wsum  # reference uses the point count; 0/1 weights reproduce it
+    safe_wsum = jnp.where(wsum > 0, wsum, 1.0)
     # Framework-owned one-sided-Jacobi SVD: float32-robust on TPU where
     # XLA's general SVD loses precision on ill-conditioned 3×3 inputs
     # (see ops/linalg3.py), and far cheaper when vmapped over RANSAC trials.
@@ -96,7 +123,7 @@ def umeyama_sim3(
     sign = jnp.where(det < 0, -one, one)
     r = _r_components(sign)
 
-    var_src = jnp.sum(w * jnp.sum(src_c**2, axis=-1)) / safe_wsum
+    var_src = var_src_sum / safe_wsum
     # Q2: d = [1,1,det(R)] with det(R)=+1 after the fix ⇒ plain trace.
     trace_S = s0 + s1 + s2
     raw_scale = trace_S / (n_eff * jnp.where(var_src > 0, var_src, 1.0))

@@ -57,6 +57,10 @@ class FusionResult:
     gt: Optional[GPSData] = None
     gt_evaluation: Optional[fusion.Evaluation] = None
     gt_aligned: Optional[alignment.AlignedGPS] = None
+    # χ²-gated robust fusion (models.robust), when requested: the mask of
+    # GNSS measurements that survived the NIS gate. corrected_pos/quat then
+    # hold the robust trajectory.
+    robust_accepted: Optional[np.ndarray] = None
 
     @property
     def corrected_pos(self) -> np.ndarray:
@@ -238,12 +242,21 @@ def fuse_arrays(
     seed: int = 0,
     dtype=None,
     gt: Optional[GPSData] = None,
+    robust: bool = False,
+    robust_gate_chi2: Optional[float] = None,
+    robust_iterations: int = 2,
 ) -> FusionResult:
     """Run the jitted fusion + evaluation on loaded arrays.
 
     ``gt``: optional independent ground-truth GNSS track (same working frame
     — load with ``load_and_project_gps(..., like=gps)``); evaluated like the
-    reference's GT flow (EKFGPSSLAM.py:1044-1082)."""
+    reference's GT flow (EKFGPSSLAM.py:1044-1082).
+
+    ``robust=True`` re-runs the filter with the χ² NIS innovation gate
+    (models.robust, BASELINE config 4) on top of the standard pipeline:
+    measurements locally plausible to the polynomial pre-filter but
+    inconsistent with the filter state are rejected; the corrected
+    trajectory and its evaluation then reflect the gated filter."""
     dtype = dtype or jnp.float64
     slam_times = jnp.asarray(slam["timestamps"], dtype)
     slam_pos = jnp.asarray(slam["positions"], dtype)
@@ -265,6 +278,30 @@ def fuse_arrays(
             "Sim3 global alignment failed (not enough temporally aligned "
             "points or RANSAC consensus too small)"
         )
+    robust_accepted = None
+    if robust:
+        from gps_optimize_slam_tpu.models import robust as robust_mod
+
+        gate = (
+            robust_mod.CHI2_3DOF_95 if robust_gate_chi2 is None else robust_gate_chi2
+        )
+        rres = robust_mod.fuse_robust(
+            slam_times,
+            slam_pos,
+            slam_quat,
+            outputs.sim3_pos,
+            outputs.sim3_quat,
+            outputs.aligned_gps,
+            outputs.gps_valid,
+            ekf_cfg=config.ekf,
+            rts_cfg=config.rts_decision,
+            gate_chi2=gate,
+            n_iterations=robust_iterations,
+        )
+        outputs = outputs._replace(
+            corrected_pos=rres.positions, corrected_quat=rres.quaternions
+        )
+        robust_accepted = np.asarray(rres.accepted)
     ev = fusion.evaluate(slam_times, slam_pos, outputs)
     gt_ev = gt_al = None
     if gt is not None:
@@ -291,6 +328,7 @@ def fuse_arrays(
         gt=gt,
         gt_evaluation=gt_ev,
         gt_aligned=gt_al,
+        robust_accepted=robust_accepted,
     )
 
 
@@ -303,6 +341,9 @@ def fuse_files(
     dtype=None,
     gt_path: Optional[str] = None,
     gt_lon_first: bool = True,
+    robust: bool = False,
+    robust_gate_chi2: Optional[float] = None,
+    robust_iterations: int = 2,
 ) -> FusionResult:
     """End-to-end: TUM SLAM file + GNSS fix file → fused trajectory.
 
@@ -328,9 +369,100 @@ def fuse_files(
             like=gps,
         )
     step(n_steps, n_steps, "device fusion (align + Sim3 RANSAC + EKF/RTS) + evaluation")
-    result = fuse_arrays(slam, gps, config=config, seed=seed, dtype=dtype, gt=gt)
+    result = fuse_arrays(
+        slam,
+        gps,
+        config=config,
+        seed=seed,
+        dtype=dtype,
+        gt=gt,
+        robust=robust,
+        robust_gate_chi2=robust_gate_chi2,
+        robust_iterations=robust_iterations,
+    )
     get_logger().info("fusion done: %s", result.summary().replace("\n", " | "))
     return result
+
+
+def refine_pose_graph(
+    result: FusionResult,
+    iterations: int = 10,
+    cg_iters: int = 50,
+    damping: float = 1e-6,
+    propose_loops: bool = True,
+    loop_radius: float = 5.0,
+    loop_min_time_gap: float = 30.0,
+    max_loops: int = 32,
+    checkpoint_dir: Optional[str] = None,
+    **weights,
+):
+    """Global pose-graph refinement of a fusion result (BASELINE config 5,
+    now user-reachable — VERDICT r2 task 5).
+
+    Factors: odometry from the Sim3-transformed SLAM stream (metric scale,
+    locally drift-free), GPS unary priors from the aligned track, and —
+    with ``propose_loops`` — proximity-proposed loop closures
+    (models.pose_graph.propose_loop_closures) whose relative measurements
+    are read from the Sim3 trajectory. The solve starts from the EKF/RTS
+    output and runs matrix-free Gauss-Newton + CG.
+
+    Returns ``(GNResult, loop_info)`` where loop_info is a dict with the
+    proposed pairs/validity for reporting."""
+    from gps_optimize_slam_tpu.models import pose_graph
+
+    o = result.outputs
+    times = jnp.asarray(result.slam["timestamps"], o.corrected_pos.dtype)
+    loop_kwargs = {}
+    n_loops = 0
+    if propose_loops:
+        loop_ij, loop_dp, loop_dq, loop_valid = pose_graph.propose_loop_closures(
+            o.corrected_pos,
+            times,
+            o.sim3_quat,
+            radius=loop_radius,
+            min_time_gap=loop_min_time_gap,
+            max_loops=max_loops,
+        )
+        # Measurements from the Sim3 trajectory (metric SLAM geometry).
+        i_sel, j_sel = loop_ij[:, 0], loop_ij[:, 1]
+        from gps_optimize_slam_tpu.ops import quaternion as quat_ops
+
+        q_i_inv = quat_ops.conj(quat_ops.normalize(o.sim3_quat[i_sel]))
+        loop_dp = quat_ops.rotate(q_i_inv, o.sim3_pos[j_sel] - o.sim3_pos[i_sel])
+        loop_dq = quat_ops.mul(q_i_inv, quat_ops.normalize(o.sim3_quat[j_sel]))
+        loop_kwargs = dict(
+            loop_ij=loop_ij, loop_dp=loop_dp, loop_dq=loop_dq, loop_valid=loop_valid
+        )
+        n_loops = int(np.asarray(loop_valid).sum())
+
+    data = pose_graph.build_data_from_fusion(
+        o.sim3_pos,
+        o.sim3_quat,
+        o.aligned_gps,
+        o.gps_valid,
+        **loop_kwargs,
+        **weights,
+    )
+    init = pose_graph.PoseGraphState(
+        positions=o.corrected_pos, quaternions=o.corrected_quat
+    )
+    gn = pose_graph.solve_pose_graph_checkpointed(
+        init,
+        data,
+        iterations=iterations,
+        cg_iters=cg_iters,
+        damping=damping,
+        checkpoint_dir=checkpoint_dir,
+    )
+    loop_info = {
+        "n_loops": n_loops,
+        "loop_ij": np.asarray(loop_kwargs["loop_ij"])[
+            np.asarray(loop_kwargs["loop_valid"])
+        ].tolist()
+        if loop_kwargs
+        else [],
+    }
+    return gn, loop_info
 
 
 def export_result(

@@ -39,7 +39,9 @@ def _equal_range_3d(ax, pts):
     ax.set_zlim(med[2] - half, med[2] + half)
 
 
-def plot_fusion_result(result, out_path: str, dpi: int = 110) -> None:
+def plot_fusion_result(result, out_path: str, dpi: int = 110, close: bool = True):
+    """Render the 4-panel overview to ``out_path``. Returns the figure
+    (closed unless ``close=False`` — tests inspect the open figure)."""
     import matplotlib
 
     matplotlib.use("Agg")
@@ -69,10 +71,21 @@ def plot_fusion_result(result, out_path: str, dpi: int = 110) -> None:
     ax1 = fig.add_subplot(2, 2, 1)
     # The raw SLAM track lives in its own local frame; overlaying it only
     # makes sense when it is commensurate with the fused frame (the
-    # reference shows it behind a visibility toggle instead).
+    # reference shows it behind a visibility toggle instead,
+    # EKFGPSSLAM.py:501-522). When it IS commensurate it is always drawn;
+    # when not, the omission is annotated rather than silent.
     extent = np.linalg.norm(ekf_pos.max(0) - ekf_pos.min(0)) + 1.0
     if np.linalg.norm(slam_pos.mean(0) - ekf_pos.mean(0)) < 10 * extent:
         ax1.plot(slam_pos[:, 0], slam_pos[:, 1], "b--", lw=1, alpha=0.6, label="Original SLAM")
+    else:
+        ax1.text(
+            0.02,
+            0.02,
+            "raw SLAM layer omitted:\nlocal frame incommensurate with fused frame",
+            transform=ax1.transAxes,
+            fontsize=7,
+            color="0.35",
+        )
     ax1.plot(sim3_pos[:, 0], sim3_pos[:, 1], "m:", lw=1, alpha=0.7, label="Sim3 Aligned")
     ax1.plot(ekf_pos[:, 0], ekf_pos[:, 1], "g-", lw=1.5, label="EKF Fused")
     ax1.scatter(gps_pos[:, 0], gps_pos[:, 1], c="r", marker=".", s=12, label="GPS (kept)")
@@ -121,4 +134,6 @@ def plot_fusion_result(result, out_path: str, dpi: int = 110) -> None:
 
     fig.tight_layout(rect=[0, 0, 1, 0.95])
     fig.savefig(out_path, dpi=dpi)
-    plt.close(fig)
+    if close:
+        plt.close(fig)
+    return fig

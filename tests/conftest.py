@@ -37,9 +37,10 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 # ~100 tests' worth of live executables accumulate in one process — the
 # crash point moves with test order, every ≤half-suite run passes, and a
 # cache-disabled run crashes identically, so it is the cumulative live JIT
-# state, not the cache (see ROADMAP.md). Mitigation: drop every live
-# compiled program between test modules; the persistent cache makes the
-# recompiles cheap.
+# state, not the cache (see ROADMAP.md; standalone repro attempt:
+# tools/repro_jaxlib_crash.py). Mitigation: drop every live compiled
+# program between test modules; the persistent cache makes the recompiles
+# cheap.
 import pytest  # noqa: E402
 
 

@@ -249,3 +249,96 @@ def test_fuse_batch_cli(tmp_path, capsys):
     assert rows[1]["ate_rmse_m"] < 0.2
     assert os.path.exists(rows[0]["output"]) and os.path.exists(rows[1]["output"])
     assert np.loadtxt(rows[1]["output"]).shape == (100, 8)
+
+
+def test_fuse_robust_cli(capsys):
+    """`fuse --robust` runs the χ²-gated filter and reports the gate stats
+    (VERDICT r2 task 5: extensions user-reachable)."""
+    rc = main(
+        [
+            "fuse",
+            reference_fixture("yolotum04.txt"),
+            reference_fixture("combined_output.txt"),
+            "--robust",
+            "--json",
+        ]
+    )
+    assert rc == 0
+    captured = capsys.readouterr().out
+    payload = json.loads(captured[: captured.rindex("}") + 1])
+    assert "robust_accepted" in payload
+    # Clean seq-04: the gate keeps (essentially) everything, and the result
+    # stays within the reference error envelope.
+    assert payload["robust_accepted"] >= 260
+    assert payload["nn_vs_primary"]["ekf"]["rmse_m"] < 0.15
+
+
+def test_refine_graph_cli(tmp_path, capsys):
+    """`refine-graph` runs GN+CG seeded from fusion and exports a refined
+    trajectory whose ATE stays in the fused envelope."""
+    out = tmp_path / "refined.txt"
+    rc = main(
+        [
+            "refine-graph",
+            reference_fixture("yolotum04.txt"),
+            reference_fixture("combined_output.txt"),
+            "-o",
+            str(out),
+            "--iterations",
+            "4",
+            "--cg-iters",
+            "25",
+            "--json",
+        ]
+    )
+    assert rc == 0
+    captured = capsys.readouterr().out
+    payload = json.loads(captured[: captured.rindex("}") + 1])
+    assert payload["poses"] == 271
+    assert payload["final_cost"] <= payload["initial_cost"]
+    assert payload["ate_rmse_m"] < 0.5
+    # seq-04 does not revisit itself: the proposer must stay silent.
+    assert payload["loops_proposed"] == 0
+    assert out.exists()
+    assert np.loadtxt(str(out)).shape == (271, 8)
+
+
+def test_viz_slam_layer_drawn_or_annotated(tmp_path):
+    """The raw-SLAM overlay is drawn whenever frames are commensurate (ENU)
+    and its omission is ANNOTATED when they are not (UTM working frame, where
+    SLAM's local origin sits ~5e6 m from the UTM coordinates) — no silent
+    dropping (VERDICT r2 task 8)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from gps_optimize_slam_tpu import pipeline
+    from gps_optimize_slam_tpu.viz import plot_fusion_result
+
+    def layer_labels(fig):
+        ax = fig.axes[0]
+        labels = [ln.get_label() for ln in ax.get_lines()]
+        texts = [t.get_text() for t in ax.texts]
+        return labels, texts
+
+    res_enu = pipeline.fuse_files(
+        reference_fixture("yolotum04.txt"),
+        reference_fixture("combined_output.txt"),
+        frame="enu",
+    )
+    fig = plot_fusion_result(res_enu, str(tmp_path / "enu.png"), close=False)
+    labels, texts = layer_labels(fig)
+    assert "Original SLAM" in labels, labels
+    plt.close(fig)
+
+    res_utm = pipeline.fuse_files(
+        reference_fixture("yolotum04.txt"),
+        reference_fixture("combined_output.txt"),
+        frame="utm",
+    )
+    fig = plot_fusion_result(res_utm, str(tmp_path / "utm.png"), close=False)
+    labels, texts = layer_labels(fig)
+    assert "Original SLAM" not in labels
+    assert any("omitted" in t for t in texts), texts
+    plt.close(fig)

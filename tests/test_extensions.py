@@ -55,8 +55,13 @@ def test_chi2_gate_clean_data_accepts_everything():
         jnp.asarray(s3p), jnp.asarray(s3q), jnp.asarray(gps), jnp.asarray(valid),
     )
     assert np.asarray(res.accepted).all()
-    # With nothing gated, result equals the standard parallel fusion.
-    up, uq = kalman_parallel.fuse_ekf_rts_parallel(
+    # With nothing gated, result equals the standard fusion (scan="auto"
+    # resolves to the sequential path on the CPU test platform — same
+    # trace-time choice fuse_core makes; the sequential≡parallel parity has
+    # its own tests in test_kalman_parallel).
+    from gps_optimize_slam_tpu.ops import kalman
+
+    up, uq = kalman.fuse_ekf_rts(
         jnp.asarray(t), jnp.asarray(pos), jnp.asarray(quats),
         jnp.asarray(s3p), jnp.asarray(s3q), jnp.asarray(gps), jnp.asarray(valid),
         EKFConfig(), RTSDecisionConfig(),
@@ -189,6 +194,86 @@ def test_quaternion_exp_log_roundtrip():
     # Near-zero and exact-zero stability.
     z = quat.log_map(quat.exp_map(jnp.zeros((1, 3))))
     np.testing.assert_allclose(np.asarray(z), 0.0, atol=1e-12)
+
+
+def test_propose_loop_closures_finds_revisit():
+    """A figure-loop trajectory that revisits its start must yield exactly
+    one (suppressed) closure pairing the revisit with the original pass."""
+    n = 120
+    ang = np.linspace(0, 2 * np.pi, n)  # closes back onto the start
+    pos = np.stack([np.cos(ang) * 20 - 20, np.sin(ang) * 20, np.zeros(n)], -1)
+    t = np.arange(n) * 1.0
+    yaw = ang + np.pi / 2
+    quats = Rotation.from_euler("z", yaw[:, None]).as_quat()
+    loop_ij, loop_dp, loop_dq, loop_valid = pose_graph.propose_loop_closures(
+        jnp.asarray(pos), jnp.asarray(t), jnp.asarray(quats),
+        radius=3.0, min_time_gap=30.0, max_loops=8,
+    )
+    lv = np.asarray(loop_valid)
+    ij = np.asarray(loop_ij)[lv]
+    assert lv.sum() == 1, ij  # suppression: ONE closure for one revisit
+    i, j = ij[0]
+    assert j >= n - 3 and i <= 2  # end of loop sees the start
+    # Measured relative pose read from the trajectory itself.
+    d = np.linalg.norm(np.asarray(loop_dp)[lv][0])
+    assert d < 3.0
+
+
+def test_propose_loop_closures_no_false_positives():
+    """A straight line never revisits: zero closures."""
+    n = 80
+    pos = np.stack([np.arange(n) * 2.0, np.zeros(n), np.zeros(n)], -1)
+    t = np.arange(n) * 1.0
+    quats = np.tile([0.0, 0.0, 0.0, 1.0], (n, 1))
+    _, _, _, loop_valid = pose_graph.propose_loop_closures(
+        jnp.asarray(pos), jnp.asarray(t), jnp.asarray(quats),
+        radius=5.0, min_time_gap=10.0, max_loops=8,
+    )
+    assert not np.asarray(loop_valid).any()
+
+
+def test_proposed_closures_close_a_drifting_loop():
+    """End-to-end: proximity-PROPOSED closures (not hand-built factors) must
+    pull a drifting loop back together (VERDICT r2 task 5)."""
+    gt_pos, gt_quat, dp, dq = make_drifting_graph(n=60, seed=7, drift=0.05)
+    init_pos, init_quat = integrate_odometry(gt_pos[0], gt_quat[0], dp, dq)
+    n = len(gt_pos)
+    t = np.arange(n) * 1.0
+    # Propose from the DRIFTED estimate (what a real pipeline has), with a
+    # radius generous enough to catch the drifted revisit.
+    loop_ij, _, _, loop_valid = pose_graph.propose_loop_closures(
+        jnp.asarray(init_pos), jnp.asarray(t), jnp.asarray(init_quat),
+        radius=8.0, min_time_gap=20.0, max_loops=4,
+    )
+    assert np.asarray(loop_valid).any()
+    # Measurements from the TRUE local geometry (stand-in for locally
+    # drift-free SLAM), exactly like pipeline.refine_pose_graph reads them
+    # from the Sim3 trajectory.
+    from gps_optimize_slam_tpu.ops import quaternion as qops
+
+    i_sel, j_sel = loop_ij[:, 0], loop_ij[:, 1]
+    qinv = qops.conj(qops.normalize(jnp.asarray(gt_quat)[i_sel]))
+    ldp = qops.rotate(qinv, jnp.asarray(gt_pos)[j_sel] - jnp.asarray(gt_pos)[i_sel])
+    ldq = qops.mul(qinv, qops.normalize(jnp.asarray(gt_quat)[j_sel]))
+
+    gps_valid = np.zeros(n, bool)
+    gps_valid[0] = True  # gauge anchor only — closures must do the work
+    data = pose_graph.build_data_from_fusion(
+        jnp.asarray(init_pos), jnp.asarray(init_quat),
+        jnp.asarray(gt_pos), jnp.asarray(gps_valid),
+        loop_ij=loop_ij, loop_dp=ldp, loop_dq=ldq, loop_valid=loop_valid,
+    )
+    data = data._replace(odo_dp=jnp.asarray(dp), odo_dq=jnp.asarray(dq))
+    res = pose_graph.solve_pose_graph(
+        pose_graph.PoseGraphState(jnp.asarray(init_pos), jnp.asarray(init_quat)),
+        data, iterations=10,
+    )
+    init_gap = np.linalg.norm(init_pos[-1] - init_pos[0] - (gt_pos[-1] - gt_pos[0]))
+    final_gap = np.linalg.norm(
+        np.asarray(res.state.positions[-1]) - np.asarray(res.state.positions[0])
+        - (gt_pos[-1] - gt_pos[0])
+    )
+    assert final_gap < init_gap * 0.25, (final_gap, init_gap)
 
 
 def test_pose_graph_checkpoint_resume(tmp_path):

@@ -49,6 +49,21 @@ def test_nn_errors_pallas_matches_jnp_path():
     np.testing.assert_allclose(ours[finite], ref[finite], rtol=1e-4, atol=1e-4)
 
 
+def test_nn_errors_auto_dispatches_jnp_on_cpu():
+    """On the CPU test platform nn_errors_auto must take the jnp path (Mosaic
+    does not lower on CPU) and agree with nn_errors exactly, at any size —
+    including one above PALLAS_NN_MIN_WORK."""
+    rng = np.random.default_rng(2)
+    n = int(np.ceil(metrics.PALLAS_NN_MIN_WORK**0.5)) + 1
+    traj = jnp.asarray(rng.normal(size=(n, 3)) * 20)
+    cands = jnp.asarray(rng.normal(size=(n, 3)) * 20)
+    tmask = jnp.asarray(rng.random(n) > 0.1)
+    cmask = jnp.asarray(rng.random(n) > 0.1)
+    auto = np.asarray(metrics.nn_errors_auto(traj, cands, tmask, cmask))
+    ref = np.asarray(metrics.nn_errors(traj, cands, tmask, cmask))
+    np.testing.assert_array_equal(auto, ref)
+
+
 def test_nn_min_dist2_all_masked_gives_inf():
     traj = jnp.zeros((10, 3))
     cands = jnp.ones((7, 3))

@@ -202,3 +202,39 @@ def test_fuse_batch_time_offsets():
     np.testing.assert_allclose(
         np.asarray(out.corrected_pos), np.asarray(base.corrected_pos), atol=1e-9
     )
+
+
+def test_stage_batch_reuse_skips_transfer():
+    """stage_batch once → repeated fuse_batch calls take device arrays
+    through unchanged (no re-marshal/copy — VERDICT r2 task 7), on both the
+    plain and the sharded path, matching the host-staged result."""
+    slams, gts, gps_list, valids = make_sequences(n_seqs=8, base_n=60)
+    b = pbatch.pad_batch(slams, gts, gps_list, valids)
+    keys = np.stack([np.asarray(jax.random.PRNGKey(i)) for i in range(8)])
+
+    ref = pmesh.fuse_batch(b, keys, dtype=jnp.float64)
+
+    staged = pmesh.stage_batch(b, keys, dtype=jnp.float64)
+    out1 = pmesh.fuse_batch(staged)
+    np.testing.assert_allclose(
+        np.asarray(out1.corrected_pos), np.asarray(ref.corrected_pos), atol=0
+    )
+    # Restaging already-staged leaves is an identity (same buffers).
+    b2 = pbatch.SequenceBatch(
+        slam_times=staged.args[0], slam_pos=staged.args[1],
+        slam_quat=staged.args[2], gps_times=staged.args[3],
+        gps_pos=staged.args[4], gps_valid=staged.args[5],
+        slam_mask=staged.args[7], n_slam=b.n_slam, n_gps=b.n_gps,
+    )
+    staged2 = pmesh.stage_batch(
+        b2, staged.args[6], dtype=jnp.float64, time_offsets=staged.args[8]
+    )
+    for a, b_ in zip(staged.args, staged2.args):
+        assert a is b_, "already-staged leaf was copied"
+
+    mesh = pmesh.make_mesh(n_devices=8)
+    staged_m = pmesh.stage_batch(b, keys, mesh=mesh, dtype=jnp.float64)
+    out_m = pmesh.fuse_batch(staged_m, mesh=mesh)
+    np.testing.assert_allclose(
+        np.asarray(out_m.corrected_pos), np.asarray(ref.corrected_pos), atol=1e-12
+    )
