@@ -118,6 +118,11 @@ class FusionConfig:
     #              cross-correlation, ops.alignment.estimate_time_offset_
     #              xcorr_device) — vmappable for batched/sharded sequences.
     offset_mode: str = "faithful"
+    # Promise that the VALID GPS timestamps are nondecreasing (true of every
+    # real GNSS stream): skips the alignment compaction argsort (~3 ms at
+    # all-KITTI scale on TPU). pipeline.fuse_arrays verifies on host and
+    # sets this automatically; identical outputs either way.
+    gps_sorted: bool = False
 
     def replace(self, **kwargs) -> "FusionConfig":
         return dataclasses.replace(self, **kwargs)
@@ -153,7 +158,9 @@ def config_from_dict(d: dict) -> FusionConfig:
     }
     # Framework-extension scalars accepted at the top level.
     scalars = {
-        k: d[k] for k in ("ekf_scan", "rts_mode", "offset_mode") if k in d
+        k: d[k]
+        for k in ("ekf_scan", "rts_mode", "offset_mode", "gps_sorted")
+        if k in d
     }
     unknown = set(d) - known_sections - set(scalars)
     if unknown:

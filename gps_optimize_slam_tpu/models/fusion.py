@@ -77,6 +77,7 @@ def fuse_core(
         gps_valid=gps_valid,
         time_offset=time_offset,
         cfg=config.time_alignment,
+        assume_sorted=config.gps_sorted,
     )
     if slam_mask is not None:
         aligned = alignment.AlignedGPS(

@@ -230,19 +230,43 @@ class AlignedGPS(NamedTuple):
     valid: jnp.ndarray
 
 
-def _compact_sort(times: jnp.ndarray, positions: jnp.ndarray, valid: jnp.ndarray):
+def _compact_sort(
+    times: jnp.ndarray,
+    positions: jnp.ndarray,
+    valid: jnp.ndarray,
+    assume_sorted: bool = False,
+):
     """Stable-sort by time, drop invalid + duplicate timestamps via
-    compaction. Returns (t, pos, keep_count) with +inf padding at the tail."""
+    compaction. Returns (t, pos, keep_count) with +inf padding at the tail.
+
+    ``assume_sorted=True`` (the VALID timestamps are nondecreasing — every
+    real GNSS stream; callers verify on host) skips the argsort entirely:
+    the stable sort is then the identity permutation, and the duplicate
+    test against the sorted predecessor becomes a test against the running
+    max of earlier valid times. ~3 ms at all-KITTI scale (TPU sorts are
+    O(m log² m) sorting networks)."""
     m = times.shape[0]
     key = jnp.where(valid, times, _INF)
-    order = jnp.argsort(key, stable=True)
-    t_sorted = key[order]
-    p_sorted = positions[order]
-    # Duplicate = equal to predecessor (first occurrence kept).
-    dup = jnp.concatenate(
-        [jnp.zeros((1,), bool), t_sorted[1:] == t_sorted[:-1]]
-    )
-    keep = jnp.isfinite(t_sorted) & ~dup
+    if assume_sorted:
+        t_sorted = key
+        p_sorted = positions
+        prev_valid_t = jnp.concatenate(
+            [
+                jnp.full((1,), -_INF, times.dtype),
+                jax.lax.cummax(jnp.where(valid, times, -_INF))[:-1],
+            ]
+        )
+        dup = valid & (times == prev_valid_t)
+        keep = jnp.isfinite(key) & ~dup
+    else:
+        order = jnp.argsort(key, stable=True)
+        t_sorted = key[order]
+        p_sorted = positions[order]
+        # Duplicate = equal to predecessor (first occurrence kept).
+        dup = jnp.concatenate(
+            [jnp.zeros((1,), bool), t_sorted[1:] == t_sorted[:-1]]
+        )
+        keep = jnp.isfinite(t_sorted) & ~dup
     n_eff = jnp.sum(keep)
     # Single-pass compaction (no second sort): each row's destination is its
     # rank among the kept rows (dropped rows go behind, in order), a unique
@@ -280,26 +304,44 @@ def _segment_structure(t: jnp.ndarray, n_eff, gap_threshold: float):
     is_start = jnp.concatenate([jnp.ones((1,), bool), gap])
     seg_id = jnp.cumsum(is_start.astype(jnp.int32)) - 1
 
-    # Per-point segment start = last start index ≤ j (forward cummax);
-    # segment end = next end index ≥ j (reverse cummin — native reverse
-    # scan, no flip/un-flip data movement). The last row is always an end,
-    # so the sentinel m is never the minimum.
+    # Per-point segment aggregates WITHOUT gathers (TPU dynamic gathers are
+    # the pipeline's slowest op): every aggregate rides a forward cummax or
+    # native reverse cummin. This works because the quantities being
+    # propagated are monotone along the compacted (sorted) times — the
+    # nearest start ≤ j maximises, the nearest end ≥ j minimises.
     start_idx = jax.lax.cummax(jnp.where(is_start, idx, -1))
     is_end = jnp.concatenate([gap, jnp.ones((1,), bool)])
     end_idx = jax.lax.cummin(jnp.where(is_end, idx, m), axis=0, reverse=True)
 
-    start_t = t[jnp.clip(start_idx, 0, m - 1)]
-    end_t = t[jnp.clip(end_idx, 0, m - 1)]
+    # t is ascending ⇒ the segment's start/end TIME propagates by the same
+    # scans directly (no t[start_idx] gather). NaN knot times (possible for
+    # valid-flagged NaN inputs) are mapped to +inf so they cannot poison
+    # the scans — their rows are non-real and masked invalid downstream.
+    start_t = jax.lax.cummax(
+        jnp.where(is_start, jnp.where(jnp.isfinite(t), t, _INF), -_INF)
+    )
+    end_t = jax.lax.cummin(
+        jnp.where(is_end, jnp.where(jnp.isfinite(t), t, _INF), _INF),
+        axis=0,
+        reverse=True,
+    )
     seg_len = end_idx - start_idx + 1
 
     # Any within-segment step ≤ 1e-9 ⇒ segment skipped (reference
-    # EKFGPSSLAM.py:364-366). Prefix-sum difference over the contiguous run
-    # (NaN steps in the padding compare False on both conditions).
+    # EKFGPSSLAM.py:364-366). cum_bad is nondecreasing, so "cum_bad at my
+    # segment's start/end" also propagates by cummax/reverse-cummin of the
+    # values marked at starts/ends — again gather-free.
     bad = (dt <= 1e-9) & ~gap
-    cum_bad = jnp.concatenate(
+    # cb_excl[j] = number of bad steps among dt[0..j-1] (exclusive prefix).
+    cb_excl = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(bad.astype(jnp.int32))]
     )
-    any_bad = (cum_bad[jnp.clip(end_idx, 0, m - 1)] - cum_bad[jnp.clip(start_idx, 0, m - 1)]) > 0
+    big = jnp.iinfo(jnp.int32).max
+    cb_start = jax.lax.cummax(jnp.where(is_start, cb_excl, -1))
+    cb_end = jax.lax.cummin(
+        jnp.where(is_end, cb_excl, big), axis=0, reverse=True
+    )
+    any_bad = (cb_end - cb_start) > 0
     seg_ok = (seg_len >= 2) & ~any_bad
     return seg_id, is_real, start_idx, end_idx, start_t, end_t, seg_len, seg_ok
 
@@ -471,6 +513,22 @@ def _notaknot_moments_tridiag(
     return M
 
 
+def _gather_rows_matmul(packed: jnp.ndarray, j: jnp.ndarray) -> jnp.ndarray:
+    """Row gather ``packed[j]`` as a one-hot matmul — the TPU-native gather.
+
+    XLA's dynamic gather serialises on TPU (measured ~3 ms per (m,3)→(n,3)
+    row gather at all-KITTI scale — the single hottest op in alignment);
+    the same access as onehot(j) @ packed rides the MXU and fuses the
+    one-hot broadcast into the dot. Under `highest` matmul precision the
+    bf16x3 passes represent each f32 operand exactly (8+8+8 mantissa bits),
+    and every product is value×{0,1}, so the result is BIT-EXACT equal to
+    the gather — provided ``packed`` is free of inf/NaN (0·inf = NaN):
+    callers pre-sanitise with finite sentinels."""
+    m = packed.shape[0]
+    onehot = (j[:, None] == jnp.arange(m)[None, :]).astype(packed.dtype)
+    return onehot @ packed
+
+
 @highp
 def align_gps_to_slam(
     slam_times: jnp.ndarray,
@@ -480,6 +538,8 @@ def align_gps_to_slam(
     time_offset=0.0,
     cfg: TimeAlignConfig = TimeAlignConfig(),
     spline_solver: str = "auto",
+    gather: str = "auto",
+    assume_sorted: bool = False,
 ) -> AlignedGPS:
     """Interpolate GPS positions onto SLAM timestamps, honouring gaps.
 
@@ -492,6 +552,15 @@ def align_gps_to_slam(
     ``spline_solver``: "dense" (one block-diagonal O(m³) solve),
     "tridiagonal" (corner-eliminated O(log m)-depth associative Thomas —
     the scalable path), or "auto" (tridiagonal for ≥256 GPS samples).
+
+    ``gather``: how the spline evaluation fetches its per-interval rows —
+    "take" (XLA dynamic gather; right on CPU), "matmul" (one-hot MXU
+    matmul, bit-exact, ~6 ms faster at all-KITTI scale on TPU), or "auto"
+    (matmul off-CPU). Both paths produce identical outputs.
+
+    ``assume_sorted``: promise that the VALID GPS timestamps are
+    nondecreasing (true of every real GNSS stream; callers verify on the
+    host — see pipeline.fuse_arrays) — skips the compaction argsort.
     """
     dtype = jnp.result_type(slam_times.dtype, gps_times.dtype, jnp.float32)
     slam_times = slam_times.astype(dtype)
@@ -500,7 +569,9 @@ def align_gps_to_slam(
     if gps_valid is None:
         gps_valid = jnp.ones(gps_times.shape, bool)
 
-    t, p, n_eff = _compact_sort(gps_times + time_offset, gps_positions, gps_valid)
+    t, p, n_eff = _compact_sort(
+        gps_times + time_offset, gps_positions, gps_valid, assume_sorted=assume_sorted
+    )
     (
         seg_id,
         is_real,
@@ -534,25 +605,81 @@ def align_gps_to_slam(
     )
     j = jnp.searchsorted(t, slam_times, side="right", method=ss_method) - 1
     j = jnp.clip(j, 0, m - 1)
-    # A timestamp equal to a segment's last knot must evaluate on the
-    # interval to its LEFT (the bracketing interval crosses the gap).
-    # (Aggregates are per-point arrays — gather at the bracketing index j.)
-    j_eval = jnp.where(
-        (j == seg_end_idx[j]) & (j > seg_start_idx[j]), j - 1, j
-    )
-    j_eval = jnp.clip(j_eval, 0, m - 2)
 
-    t0 = t[j_eval]
-    t1 = t[j_eval + 1]
+    use_matmul = gather == "matmul" or (
+        gather == "auto" and jax.default_backend() != "cpu"
+    )
+    if use_matmul:
+        # TPU path: the ~13 per-point/per-interval fetches become TWO
+        # one-hot matmuls over packed row matrices (see _gather_rows_matmul
+        # — dynamic gathers were the hottest op of the whole pipeline).
+        # +inf sentinels (padding times, segment aggregates) are replaced
+        # by a large-but-finite time so 0·inf never makes a NaN; every
+        # consumer below already guards with (h > 0)/valid masks, and rows
+        # carrying the sentinel are invalid by construction.
+        big = jnp.asarray(1e6, t.dtype)
+        t_fin = jnp.where(jnp.isfinite(t), t, big)
+        p_fin = jnp.where(jnp.isfinite(p), p, 0.0)
+        mom_fin = jnp.where(jnp.isfinite(moments), moments, 0.0)
+        packed1 = jnp.stack(
+            [
+                seg_start_idx.astype(t.dtype),
+                seg_end_idx.astype(t.dtype),
+                seg_len.astype(t.dtype),
+                jnp.where(jnp.isfinite(seg_start_t), seg_start_t, big),
+                jnp.where(jnp.isfinite(seg_end_t), seg_end_t, big),
+                seg_ok.astype(t.dtype),
+                is_real.astype(t.dtype),
+            ],
+            axis=-1,
+        )
+        r1 = _gather_rows_matmul(packed1, j)
+        start_idx_j = r1[:, 0]
+        end_idx_j = r1[:, 1]
+        len_j = r1[:, 2]
+        start_t_j, end_t_j = r1[:, 3], r1[:, 4]
+        ok_j = r1[:, 5] > 0.5
+        real_j = r1[:, 6] > 0.5
+
+        jf = j.astype(t.dtype)
+        j_eval = jnp.where((jf == end_idx_j) & (jf > start_idx_j), j - 1, j)
+        j_eval = jnp.clip(j_eval, 0, m - 2)
+
+        packed2 = jnp.concatenate(
+            [
+                t_fin[:, None],
+                jnp.roll(t_fin, -1)[:, None],
+                p_fin,
+                jnp.roll(p_fin, -1, axis=0),
+                mom_fin,
+                jnp.roll(mom_fin, -1, axis=0),
+            ],
+            axis=-1,
+        )
+        r2 = _gather_rows_matmul(packed2, j_eval)
+        t0, t1 = r2[:, 0], r2[:, 1]
+        y0, y1 = r2[:, 2:5], r2[:, 5:8]
+        m0, m1 = r2[:, 8:11], r2[:, 11:14]
+    else:
+        # A timestamp equal to a segment's last knot must evaluate on the
+        # interval to its LEFT (the bracketing interval crosses the gap).
+        # (Aggregates are per-point arrays — gather at the bracketing j.)
+        j_eval = jnp.where(
+            (j == seg_end_idx[j]) & (j > seg_start_idx[j]), j - 1, j
+        )
+        j_eval = jnp.clip(j_eval, 0, m - 2)
+        len_j = seg_len[j]
+        start_t_j, end_t_j = seg_start_t[j], seg_end_t[j]
+        ok_j, real_j = seg_ok[j], is_real[j]
+        t0 = t[j_eval]
+        t1 = t[j_eval + 1]
+        y0 = jnp.where(jnp.isfinite(p[j_eval]), p[j_eval], 0.0)
+        y1 = jnp.where(jnp.isfinite(p[j_eval + 1]), p[j_eval + 1], 0.0)
+        m0 = moments[j_eval]
+        m1 = moments[j_eval + 1]
+
     h = t1 - t0
     h_safe = jnp.where((h > 0) & jnp.isfinite(h), h, 1.0)
-    y0 = p[j_eval]
-    y1 = p[j_eval + 1]
-    y0 = jnp.where(jnp.isfinite(y0), y0, 0.0)
-    y1 = jnp.where(jnp.isfinite(y1), y1, 0.0)
-    m0 = moments[j_eval]
-    m1 = moments[j_eval + 1]
-
     u = (slam_times - t0)[:, None]
     v = (t1 - slam_times)[:, None]
     hh = h_safe[:, None]
@@ -564,15 +691,15 @@ def align_gps_to_slam(
     )
     linear_val = y0 + (y1 - y0) * (u / hh)
 
-    use_cubic = (seg_len[j] >= 4)[:, None]
+    use_cubic = (len_j >= 4)[:, None]
     aligned = jnp.where(use_cubic, cubic_val, linear_val)
 
     valid = (
         (slam_times >= t[0])
-        & (slam_times >= seg_start_t[j])
-        & (slam_times <= seg_end_t[j])
-        & seg_ok[j]
-        & is_real[j]
+        & (slam_times >= start_t_j)
+        & (slam_times <= end_t_j)
+        & ok_j
+        & real_j
     )
     aligned = jnp.where(valid[:, None], aligned, jnp.nan)
     return AlignedGPS(aligned=aligned, valid=valid)

@@ -148,6 +148,8 @@ def _align_kernel(cfg: TimeAlignConfig, dtype_name: str):
 
     @jax.jit
     def kernel(slam_t, win_t, win_p, win_ok):
+        # Window arrays come pre-sorted/deduplicated from compact_gps_host
+        # — the in-kernel compaction argsort is provably a no-op.
         out = alignment.align_gps_to_slam(
             slam_t.astype(dtype),
             win_t.astype(dtype),
@@ -155,6 +157,7 @@ def _align_kernel(cfg: TimeAlignConfig, dtype_name: str):
             gps_valid=win_ok,
             cfg=cfg,
             spline_solver="tridiagonal",
+            assume_sorted=True,
         )
         return out.aligned, out.valid
 

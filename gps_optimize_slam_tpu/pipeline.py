@@ -261,6 +261,12 @@ def fuse_arrays(
     slam_times = jnp.asarray(slam["timestamps"], dtype)
     slam_pos = jnp.asarray(slam["positions"], dtype)
     slam_quat = jnp.asarray(slam["quaternions"], dtype)
+    # Host sortedness check → the device program may skip the compaction
+    # argsort (identical outputs; see alignment._compact_sort).
+    if not config.gps_sorted:
+        tv = np.asarray(gps.timestamps)[np.asarray(gps.valid)]
+        if tv.size == 0 or np.all(np.diff(tv) >= 0):
+            config = config.replace(gps_sorted=True)
     offset = estimate_offset(slam, gps, config)
     outputs = fusion.fuse_core(
         slam_times,

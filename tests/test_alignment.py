@@ -212,3 +212,31 @@ def test_sim3_window_mask_gap_excludes_boundary_point():
     expected = np.zeros(101, bool)
     expected[:29] = True  # reference excludes index 29 (the boundary point)
     np.testing.assert_array_equal(m, expected)
+
+
+def test_matmul_gather_path_bit_exact():
+    """The one-hot-matmul spline evaluation (the TPU gather replacement)
+    must equal the dynamic-gather path BIT-EXACTLY — products are value×{0,1}
+    and f64 dots are exact — across gaps, duplicates, invalid fixes, and
+    short (linear) segments."""
+    rng = np.random.default_rng(11)
+    n, m = 400, 330
+    st = jnp.asarray(np.sort(rng.uniform(0, 60, n)))
+    gt = np.sort(rng.uniform(-2, 62, m))
+    gt[m // 2 + 1] = gt[m // 2]  # duplicate
+    gt[m // 4 : m // 4 + 3] += 20.0  # creates a gap + a short segment
+    order = np.argsort(gt)
+    gp = rng.normal(size=(m, 3)) * 30
+    gv = rng.random(m) > 0.08
+    take = alignment.align_gps_to_slam(
+        st, jnp.asarray(gt[order]), jnp.asarray(gp[order]),
+        gps_valid=jnp.asarray(gv[order]), gather="take",
+    )
+    mm = alignment.align_gps_to_slam(
+        st, jnp.asarray(gt[order]), jnp.asarray(gp[order]),
+        gps_valid=jnp.asarray(gv[order]), gather="matmul",
+    )
+    np.testing.assert_array_equal(np.asarray(take.valid), np.asarray(mm.valid))
+    tv = np.asarray(take.aligned)[np.asarray(take.valid)]
+    mv = np.asarray(mm.aligned)[np.asarray(mm.valid)]
+    np.testing.assert_array_equal(tv, mv)

@@ -146,9 +146,12 @@ def test_fuse_core_chunked_matches_incore_end_to_end():
         jax.random.PRNGKey(0), config=cfg,
     )
     assert bool(ref.ok)
+    # chunk_size 159 on 599 steps: 3 full chunks + a padded final chunk —
+    # and the SAME chunk kernel shape test_kalman_chunked compiles, so the
+    # suite pays for this (minutes-slow XLA:CPU associative) family once.
     out = fusion_chunked.fuse_core_chunked(
         st, sp, sq, gt, gp, gv,
-        key=jax.random.PRNGKey(0), config=cfg, chunk_size=144, halo=24,
+        key=jax.random.PRNGKey(0), config=cfg, chunk_size=159, halo=24,
     )
     assert out.ok
     np.testing.assert_array_equal(out.gps_valid, np.asarray(ref.gps_valid))
