@@ -156,11 +156,12 @@ def _cmd_fuse(args) -> int:
             )
         pipeline.export_result(result, args.output, wgs)
         print(f"saved: {args.output}" + (f" and {wgs}" if wgs else ""))
-    if args.plot:
+    if args.plot or args.show:
         from gps_optimize_slam_tpu.viz import plot_fusion_result
 
-        plot_fusion_result(result, args.plot)
-        print(f"plot saved: {args.plot}")
+        plot_fusion_result(result, args.plot, interactive=args.show, show=args.show)
+        if args.plot:
+            print(f"plot saved: {args.plot}")
     return 0
 
 
@@ -370,6 +371,12 @@ def build_parser() -> argparse.ArgumentParser:
     f.add_argument("--seed", type=int, default=0)
     f.add_argument("--json", action="store_true", help="machine-readable output")
     f.add_argument("--plot", help="save a matplotlib overview figure (png)")
+    f.add_argument(
+        "--show",
+        action="store_true",
+        help="open the interactive figure (show/hide-layer CheckButtons; "
+        "needs a GUI matplotlib backend)",
+    )
     f.add_argument("-v", "--verbose", action="store_true", help="step logging")
     f.add_argument(
         "--config",

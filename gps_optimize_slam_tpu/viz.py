@@ -4,8 +4,14 @@ Replaces plot_results (reference: EKFGPSSLAM.py:469-666): the same panels —
 XY overlay of up to 5 trajectories (raw SLAM, Sim3, EKF, kept GPS, GT GNSS;
 reference :501-522), 3D overlay with median-centered equal-range axes
 (:524-558), error histograms with mean/median/RMSE lines (:599-612), and
-error-over-time (:614-663) — rendered to a file instead of an interactive
-window with CheckButtons (the GUI was incidental to the capability).
+error-over-time (:614-663) — rendered to a file by default.
+
+Layer toggles (reference CheckButtons, EKFGPSSLAM.py:561-597) are kept:
+every trajectory layer's artists are registered on the figure
+(``fig._layer_artists``) and can be flipped programmatically with
+``toggle_layer(fig, label)`` in any backend; ``interactive=True``
+additionally mounts a CheckButtons panel wired to the same toggling, and
+``show=True`` opens the window when a GUI backend is available.
 
 Like the reference (:1069-1082), when a ground-truth GNSS track is present
 the error panels use GT-based errors; otherwise primary-GPS-based.
@@ -39,12 +45,58 @@ def _equal_range_3d(ax, pts):
     ax.set_zlim(med[2] - half, med[2] + half)
 
 
-def plot_fusion_result(result, out_path: str, dpi: int = 110, close: bool = True):
+def toggle_layer(fig, label: str) -> bool:
+    """Flip a trajectory layer's visibility on a ``plot_fusion_result``
+    figure (the reference's CheckButtons callback, EKFGPSSLAM.py:584-597),
+    refresh the overlay legends, and return the new visibility. Works in
+    any backend — the interactive CheckButtons call this same function."""
+    artists = fig._layer_artists[label]
+    new_vis = not artists[0].get_visible()
+    for a in artists:
+        a.set_visible(new_vis)
+    for ax in fig._layer_axes:
+        handles = [h for h in ax._layer_handles if h.get_visible()]
+        if handles:
+            ax.legend(handles=handles, loc="best", fontsize=8)
+        elif ax.get_legend() is not None:
+            ax.get_legend().remove()
+    fig.canvas.draw_idle()
+    return new_vis
+
+
+def _mount_layer_checkbuttons(fig):
+    """Mount a CheckButtons panel driving ``toggle_layer`` (reference
+    EKFGPSSLAM.py:561-597). Returns the widget (kept alive on the fig)."""
+    from matplotlib.widgets import CheckButtons
+
+    labels = list(fig._layer_artists)
+    ax = fig.add_axes([0.005, 0.45, 0.10, 0.028 * max(len(labels), 1) + 0.04])
+    ax.set_title("Show/Hide Layers", fontsize=9)
+    check = CheckButtons(ax=ax, labels=labels, actives=[True] * len(labels))
+    check.on_clicked(lambda label: toggle_layer(fig, label))
+    fig._widgets_store = [check]
+    return check
+
+
+def plot_fusion_result(
+    result,
+    out_path: str,
+    dpi: int = 110,
+    close: bool = True,
+    interactive: bool = False,
+    show: bool = False,
+):
     """Render the 4-panel overview to ``out_path``. Returns the figure
-    (closed unless ``close=False`` — tests inspect the open figure)."""
+    (closed unless ``close=False``/``interactive``/``show`` — tests and
+    interactive sessions inspect the open figure).
+
+    ``interactive=True`` mounts the reference's show/hide-layers
+    CheckButtons panel; ``show=True`` also opens a window (needs a GUI
+    backend — headless environments keep Agg and just save the file)."""
     import matplotlib
 
-    matplotlib.use("Agg")
+    if not (interactive or show):
+        matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
     slam_pos = np.asarray(result.slam["positions"])
@@ -74,9 +126,13 @@ def plot_fusion_result(result, out_path: str, dpi: int = 110, close: bool = True
     # reference shows it behind a visibility toggle instead,
     # EKFGPSSLAM.py:501-522). When it IS commensurate it is always drawn;
     # when not, the omission is annotated rather than silent.
+    layers: dict[str, list] = {}
     extent = np.linalg.norm(ekf_pos.max(0) - ekf_pos.min(0)) + 1.0
     if np.linalg.norm(slam_pos.mean(0) - ekf_pos.mean(0)) < 10 * extent:
-        ax1.plot(slam_pos[:, 0], slam_pos[:, 1], "b--", lw=1, alpha=0.6, label="Original SLAM")
+        (l_slam,) = ax1.plot(
+            slam_pos[:, 0], slam_pos[:, 1], "b--", lw=1, alpha=0.6, label="Original SLAM"
+        )
+        layers["Original SLAM"] = [l_slam]
     else:
         ax1.text(
             0.02,
@@ -86,24 +142,46 @@ def plot_fusion_result(result, out_path: str, dpi: int = 110, close: bool = True
             fontsize=7,
             color="0.35",
         )
-    ax1.plot(sim3_pos[:, 0], sim3_pos[:, 1], "m:", lw=1, alpha=0.7, label="Sim3 Aligned")
-    ax1.plot(ekf_pos[:, 0], ekf_pos[:, 1], "g-", lw=1.5, label="EKF Fused")
-    ax1.scatter(gps_pos[:, 0], gps_pos[:, 1], c="r", marker=".", s=12, label="GPS (kept)")
+    (l_sim3,) = ax1.plot(
+        sim3_pos[:, 0], sim3_pos[:, 1], "m:", lw=1, alpha=0.7, label="Sim3 Aligned"
+    )
+    (l_ekf,) = ax1.plot(ekf_pos[:, 0], ekf_pos[:, 1], "g-", lw=1.5, label="EKF Fused")
+    s_gps = ax1.scatter(
+        gps_pos[:, 0], gps_pos[:, 1], c="r", marker=".", s=12, label="GPS (kept)"
+    )
+    layers.setdefault("Sim3 Aligned", []).append(l_sim3)
+    layers.setdefault("EKF Fused", []).append(l_ekf)
+    layers.setdefault("GPS (kept)", []).append(s_gps)
     if has_gt and len(gt_pos):
-        ax1.plot(gt_pos[:, 0], gt_pos[:, 1], "k-", lw=1, alpha=0.8, label="GT GNSS")
+        (l_gt,) = ax1.plot(
+            gt_pos[:, 0], gt_pos[:, 1], "k-", lw=1, alpha=0.8, label="GT GNSS"
+        )
+        layers.setdefault("GT GNSS", []).append(l_gt)
     ax1.set_title("Trajectory (X-Y)")
     ax1.axis("equal")
     ax1.grid(True)
+    ax1._layer_handles = list(ax1.get_lines()) + [s_gps]
     ax1.legend(loc="best", fontsize=8)
 
     ax2 = fig.add_subplot(2, 2, 2, projection="3d")
-    ax2.plot(sim3_pos[:, 0], sim3_pos[:, 1], sim3_pos[:, 2], "m:", lw=1, label="Sim3")
-    ax2.plot(ekf_pos[:, 0], ekf_pos[:, 1], ekf_pos[:, 2], "g-", lw=1.5, label="EKF")
-    ax2.scatter(gps_pos[:, 0], gps_pos[:, 1], gps_pos[:, 2], c="r", marker="x", s=10)
+    (l3_sim3,) = ax2.plot(
+        sim3_pos[:, 0], sim3_pos[:, 1], sim3_pos[:, 2], "m:", lw=1, label="Sim3"
+    )
+    (l3_ekf,) = ax2.plot(
+        ekf_pos[:, 0], ekf_pos[:, 1], ekf_pos[:, 2], "g-", lw=1.5, label="EKF"
+    )
+    s3_gps = ax2.scatter(gps_pos[:, 0], gps_pos[:, 1], gps_pos[:, 2], c="r", marker="x", s=10)
+    layers["Sim3 Aligned"].append(l3_sim3)
+    layers["EKF Fused"].append(l3_ekf)
+    layers["GPS (kept)"].append(s3_gps)
     if has_gt and len(gt_pos):
-        ax2.plot(gt_pos[:, 0], gt_pos[:, 1], gt_pos[:, 2], "k-", lw=1, alpha=0.8, label="GT")
+        (l3_gt,) = ax2.plot(
+            gt_pos[:, 0], gt_pos[:, 1], gt_pos[:, 2], "k-", lw=1, alpha=0.8, label="GT"
+        )
+        layers["GT GNSS"].append(l3_gt)
     _equal_range_3d(ax2, ekf_pos)
     ax2.set_title("Trajectory (3D)")
+    ax2._layer_handles = [l3_sim3, l3_ekf] + ([l3_gt] if has_gt and len(gt_pos) else [])
     ax2.legend(fontsize=8)
 
     ax3 = fig.add_subplot(2, 2, 3)
@@ -132,8 +210,16 @@ def plot_fusion_result(result, out_path: str, dpi: int = 110, close: bool = True
     ax4.set_ylabel("error (m)")
     ax4.grid(True)
 
+    fig._layer_artists = layers
+    fig._layer_axes = (ax1, ax2)
+    if interactive or show:
+        _mount_layer_checkbuttons(fig)
+
     fig.tight_layout(rect=[0, 0, 1, 0.95])
-    fig.savefig(out_path, dpi=dpi)
-    if close:
+    if out_path is not None:
+        fig.savefig(out_path, dpi=dpi)
+    if show:
+        plt.show()
+    if close and not (interactive or show):
         plt.close(fig)
     return fig

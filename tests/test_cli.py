@@ -342,3 +342,48 @@ def test_viz_slam_layer_drawn_or_annotated(tmp_path):
     assert "Original SLAM" not in labels
     assert any("omitted" in t for t in texts), texts
     plt.close(fig)
+
+
+def test_viz_layer_toggles_reference_checkbuttons(tmp_path):
+    """The reference's show/hide-layer CheckButtons (EKFGPSSLAM.py:561-597)
+    are rebuilt: each trajectory layer registers its 2D+3D artists on the
+    figure, `toggle_layer` flips them and refreshes legends, and the
+    interactive CheckButtons drive the same path (exercised here
+    programmatically via set_active — works on any backend)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from gps_optimize_slam_tpu import pipeline
+    from gps_optimize_slam_tpu.viz import plot_fusion_result, toggle_layer
+
+    res = pipeline.fuse_files(
+        reference_fixture("yolotum04.txt"),
+        reference_fixture("combined_output.txt"),
+        frame="enu",
+    )
+    fig = plot_fusion_result(res, str(tmp_path / "i.png"), interactive=True)
+    layers = fig._layer_artists
+    for want in ("Original SLAM", "Sim3 Aligned", "EKF Fused", "GPS (kept)"):
+        assert want in layers, list(layers)
+    # Sim3/EKF/GPS layers span both the 2D and the 3D overlay.
+    assert len(layers["EKF Fused"]) == 2
+
+    assert all(a.get_visible() for a in layers["EKF Fused"])
+    assert toggle_layer(fig, "EKF Fused") is False
+    assert not any(a.get_visible() for a in layers["EKF Fused"])
+    # Hidden layers leave the legend.
+    leg = fig._layer_axes[0].get_legend()
+    assert all(t.get_text() != "EKF Fused" for t in leg.get_texts())
+    assert toggle_layer(fig, "EKF Fused") is True
+    assert all(a.get_visible() for a in layers["EKF Fused"])
+
+    # The mounted CheckButtons drive the same toggling.
+    (check,) = fig._widgets_store
+    idx = list(layers).index("Sim3 Aligned")
+    check.set_active(idx)
+    assert not any(a.get_visible() for a in layers["Sim3 Aligned"])
+    check.set_active(idx)
+    assert all(a.get_visible() for a in layers["Sim3 Aligned"])
+    plt.close(fig)
