@@ -8,6 +8,7 @@ Replaces the reference's tkinter dialog flow (EKFGPSSLAM.py:669-674,
         [--rts-mode outage|full] [--ekf-scan auto|sequential|parallel]
         [--estimate-offset off|faithful|xcorr|xcorr_device] [--meas-noise SX SY SZ]
         [--no-gps-filter] [--robust [--robust-gate CHI2] [--robust-iters N]]
+        [--chunked [--chunk-size N]]
     python -m gps_optimize_slam_tpu fuse-batch SLAM1:GPS1 SLAM2:GPS2 ...
         [-o OUT_DIR] [--max-waste W] [--estimate-offsets] [--json]
     python -m gps_optimize_slam_tpu refine-graph SLAM.tum GPS.txt [-o OUT]
@@ -91,6 +92,8 @@ def _cmd_fuse(args) -> int:
 
     config = _build_config(args)
     frame = _resolve_frame(args.frame)
+    if args.chunked:
+        return _cmd_fuse_chunked(args, config, frame)
     result = pipeline.fuse_files(
         args.slam,
         args.gps,
@@ -162,6 +165,72 @@ def _cmd_fuse(args) -> int:
         plot_fusion_result(result, args.plot, interactive=args.show, show=args.show)
         if args.plot:
             print(f"plot saved: {args.plot}")
+    return 0
+
+
+def _cmd_fuse_chunked(args, config, frame) -> int:
+    """Out-of-core fusion path of `fuse --chunked`: trajectories larger than
+    device memory stream through O(chunk)-resident device programs
+    (pipeline.fuse_files_chunked). GT comparison / robust gating / plotting
+    are in-core features — reject their combination explicitly."""
+    import numpy as np
+
+    from gps_optimize_slam_tpu import pipeline
+    from gps_optimize_slam_tpu.io import tum as tum_io
+
+    for flag, name in [(args.gt, "--gt"), (args.robust, "--robust"),
+                       (args.plot, "--plot"), (args.show, "--show")]:
+        if flag:
+            print(f"{name} is not supported with --chunked (in-core feature)",
+                  file=sys.stderr)
+            return 2
+    res = pipeline.fuse_files_chunked(
+        args.slam,
+        args.gps,
+        config=config,
+        frame=frame,
+        seed=args.seed,
+        chunk_size=args.chunk_size,
+    )
+    if args.json:
+        def stats(s):
+            return {
+                "mean_m": float(s.mean),
+                "median_m": float(s.median),
+                "rmse_m": float(s.rmse),
+                "max_m": float(s.max),
+                "count": int(s.count),
+            }
+
+        ev = res.evaluation
+        out = {
+            "poses": len(res.slam["timestamps"]),
+            "gps_kept": int(res.gps.valid.sum()),
+            "sim3_scale": float(np.asarray(res.result.sim3.scale)),
+            "time_offset_s": res.time_offset,
+            "chunked": True,
+            "chunk_size": args.chunk_size,
+            "nn_vs_primary": {
+                "slam": stats(ev.nn_slam),
+                "sim3": stats(ev.nn_sim3),
+                "ekf": stats(ev.nn_ekf),
+            },
+            "ate_vs_primary": {
+                "sim3": stats(ev.ate_sim3),
+                "ekf": stats(ev.ate_ekf),
+            },
+        }
+        print(json.dumps(out, indent=2))
+    else:
+        print(res.summary())
+    if args.output:
+        tum_io.write_tum(
+            args.output,
+            res.slam["timestamps"],
+            res.result.corrected_pos,
+            res.result.corrected_quat,
+        )
+        print(f"saved: {args.output}")
     return 0
 
 
@@ -429,6 +498,18 @@ def build_parser() -> argparse.ArgumentParser:
         type=int,
         default=2,
         help="fixed-point iterations of the gate decisions",
+    )
+    f.add_argument(
+        "--chunked",
+        action="store_true",
+        help="out-of-core streaming fusion for trajectories larger than "
+        "device memory (O(chunk) device residency; models.fusion_chunked)",
+    )
+    f.add_argument(
+        "--chunk-size",
+        type=int,
+        default=262144,
+        help="poses per device chunk with --chunked",
     )
     f.set_defaults(fn=_cmd_fuse)
 

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from gps_optimize_slam_tpu.config import FusionConfig
-from gps_optimize_slam_tpu.ops import alignment_chunked, kalman_chunked, se3
+from gps_optimize_slam_tpu.ops import alignment_chunked, kalman_chunked, metrics, se3
 from gps_optimize_slam_tpu.ops.umeyama import Sim3
 
 
@@ -81,6 +81,186 @@ def transform_trajectory_chunked(
         out_pos[a:b] = np.asarray(p)
         out_quat[a:b] = np.asarray(q)
     return out_pos, out_quat
+
+
+@lru_cache(maxsize=8)
+def _nn_block_kernel(dtype_name: str):
+    """Jitted block step of the streamed NN metric: fold one candidate block
+    into the running per-point minimum distance. On TPU the block itself runs
+    the tiled Pallas kernel (metrics.nn_errors_auto dispatch)."""
+    dtype = jnp.dtype(dtype_name)
+
+    @jax.jit
+    def kernel(running, traj, cands, tmask, cmask):
+        e = metrics.nn_errors_auto(
+            traj.astype(dtype), cands.astype(dtype), tmask, cmask
+        )
+        return jnp.minimum(running, e)
+
+    return kernel
+
+
+@lru_cache(maxsize=8)
+def _ate_block_kernel(dtype_name: str):
+    dtype = jnp.dtype(dtype_name)
+
+    @jax.jit
+    def kernel(traj, ref, mask):
+        return metrics.paired_errors(
+            traj.astype(dtype), ref.astype(dtype), mask
+        )
+
+    return kernel
+
+
+def _pad_rows(arr: np.ndarray, size: int) -> np.ndarray:
+    if arr.shape[0] == size:
+        return arr
+    pad = np.zeros((size - arr.shape[0],) + arr.shape[1:], arr.dtype)
+    return np.concatenate([arr, pad], axis=0)
+
+
+def nn_errors_streamed(
+    traj_chunk_fn,
+    n: int,
+    candidates: np.ndarray,
+    cand_mask: np.ndarray,
+    traj_mask: np.ndarray,
+    chunk_size: int = 65536,
+    dtype=np.float64,
+    out: Optional[np.ndarray] = None,
+) -> np.ndarray:
+    """Reference NN metric (EKFGPSSLAM.py:1030-1031, quirk Q6) streamed over
+    host chunks: per-point min distance to any valid candidate, with device
+    residency O(chunk²) work / O(chunk) memory — no (N, M) matrix, no full
+    trajectory on device. ``traj_chunk_fn(a, b)`` yields trajectory rows
+    [a, b) so the Sim3 trajectory can be produced on the fly; ``candidates``
+    / masks are host (memmappable) arrays. Invalid points get +inf, matching
+    ``metrics.nn_errors``. All chunks are padded to ``chunk_size`` so exactly
+    one program is compiled per dtype."""
+    dtype = np.dtype(dtype)
+    if out is None:
+        out = np.full(n, np.inf, dtype)
+    kernel = _nn_block_kernel(dtype.name)
+    m = candidates.shape[0]
+    cands_np = np.nan_to_num(np.asarray(candidates, dtype), nan=0.0)
+    for a in range(0, n, chunk_size):
+        b = min(a + chunk_size, n)
+        traj_blk = _pad_rows(np.asarray(traj_chunk_fn(a, b), dtype), chunk_size)
+        tmask_blk = np.zeros(chunk_size, bool)
+        tmask_blk[: b - a] = np.asarray(traj_mask[a:b], bool)
+        running = jnp.full((chunk_size,), np.inf, jnp.dtype(dtype.name))
+        tdev = jax.device_put(traj_blk)
+        tmdev = jax.device_put(tmask_blk)
+        for c in range(0, m, chunk_size):
+            d = min(c + chunk_size, m)
+            cmask_blk = np.zeros(chunk_size, bool)
+            cmask_blk[: d - c] = np.asarray(cand_mask[c:d], bool)
+            if not cmask_blk.any():
+                continue
+            running = kernel(
+                running,
+                tdev,
+                jax.device_put(_pad_rows(cands_np[c:d], chunk_size)),
+                tmdev,
+                jax.device_put(cmask_blk),
+            )
+        out[a:b] = np.asarray(running)[: b - a]
+    return out
+
+
+def _stats_host(errors: np.ndarray, mask: np.ndarray) -> metrics.ErrorStats:
+    """Host-side mirror of ``metrics.error_stats`` (same zero-count and
+    even/odd-median conventions) over a full-length error array."""
+    e = errors[np.asarray(mask, bool)]
+    n = int(e.size)
+    if n == 0:
+        z = np.float64(0.0)
+        return metrics.ErrorStats(mean=z, median=np.float64(np.inf), rmse=z,
+                                  max=np.float64(-np.inf), count=0)
+    return metrics.ErrorStats(
+        mean=np.float64(e.mean()),
+        median=np.float64(np.median(e)),
+        rmse=np.float64(np.sqrt(np.mean(e**2))),
+        max=np.float64(e.max()),
+        count=n,
+    )
+
+
+def evaluate_chunked(
+    slam_times,
+    slam_pos,
+    slam_quat,
+    result: ChunkedFusionResult,
+    chunk_size: int = 65536,
+    skip_seconds: float = 5.0,
+    dtype=np.float64,
+):
+    """Out-of-core counterpart of ``models.fusion.evaluate`` (reference
+    evaluation block, EKFGPSSLAM.py:1013-1083): NN + paired-ATE stats for the
+    raw SLAM / Sim3-aligned / EKF-fused trajectories vs the aligned GPS, with
+    the post-5 s gate — computed from host (memmappable) arrays with O(chunk)
+    device residency. The Sim3 trajectory is generated chunk-by-chunk from
+    the stored transform; per-point error arrays live on host (N floats
+    each). Returns the same ``fusion.Evaluation`` tuple shape with host
+    scalars."""
+    from gps_optimize_slam_tpu.models.fusion import Evaluation
+
+    dtype = np.dtype(dtype)
+    n = len(slam_times)
+    st = np.asarray(slam_times)
+    gate = np.asarray(result.gps_valid, bool) & (st > st[0] + skip_seconds)
+    aligned = np.asarray(result.aligned_gps)
+
+    tkernel = _transform_kernel(dtype.name)
+    jdt = jnp.dtype(dtype.name)
+    R = jnp.asarray(np.asarray(result.sim3.R), jdt)
+    t = jnp.asarray(np.asarray(result.sim3.t), jdt)
+    s = jnp.asarray(np.asarray(result.sim3.scale), jdt)
+
+    def slam_chunk(a, b):
+        return slam_pos[a:b]
+
+    def sim3_chunk(a, b):
+        p, _ = tkernel(
+            jax.device_put(np.asarray(slam_pos[a:b], dtype)),
+            jax.device_put(np.asarray(slam_quat[a:b], dtype)),
+            R, t, s,
+        )
+        return np.asarray(p)
+
+    def ekf_chunk(a, b):
+        return result.corrected_pos[a:b]
+
+    def nn(fn):
+        e = nn_errors_streamed(
+            fn, n, aligned, gate, gate, chunk_size=chunk_size, dtype=dtype
+        )
+        return _stats_host(e, gate)
+
+    akernel = _ate_block_kernel(dtype.name)
+    ref_np = np.nan_to_num(aligned.astype(dtype), nan=0.0)
+
+    def ate(fn):
+        e = np.full(n, np.inf, dtype)
+        for a in range(0, n, chunk_size):
+            b = min(a + chunk_size, n)
+            e[a:b] = np.asarray(
+                akernel(
+                    jax.device_put(np.asarray(fn(a, b), dtype)),
+                    jax.device_put(ref_np[a:b]),
+                    jax.device_put(gate[a:b]),
+                )
+            )
+        return _stats_host(e, gate)
+
+    return Evaluation(
+        nn_slam=nn(slam_chunk),
+        nn_sim3=nn(sim3_chunk),
+        nn_ekf=nn(ekf_chunk),
+        ate_sim3=ate(sim3_chunk),
+        ate_ekf=ate(ekf_chunk),
+    )
 
 
 def fuse_core_chunked(

@@ -390,6 +390,114 @@ def fuse_files(
     return result
 
 
+@dataclasses.dataclass
+class ChunkedPipelineResult:
+    """Out-of-core fusion of one file pair (pipeline front of
+    models.fusion_chunked): host/memmap arrays, O(chunk) device residency."""
+
+    slam: Dict[str, np.ndarray]
+    gps: GPSData
+    result: "object"  # models.fusion_chunked.ChunkedFusionResult
+    evaluation: Optional[fusion.Evaluation]
+    config: FusionConfig
+    time_offset: float = 0.0
+
+    def summary(self) -> str:
+        r = self.result
+        lines = [
+            f"poses: {len(self.slam['timestamps'])} (chunked/out-of-core), "
+            f"gps fixes kept: {int(self.gps.valid.sum())}/{len(self.gps.valid)}, "
+            f"frame: {self.gps.frame}",
+            f"sim3: scale={float(np.asarray(r.sim3.scale)):.6f} ok={r.ok} "
+            f"inliers={r.num_inliers}",
+        ]
+        if self.evaluation is not None:
+            ev = self.evaluation
+            for name, st in [
+                ("raw SLAM  (NN)", ev.nn_slam),
+                ("Sim3      (NN)", ev.nn_sim3),
+                ("EKF fused (NN)", ev.nn_ekf),
+                ("Sim3     (ATE)", ev.ate_sim3),
+                ("EKF      (ATE)", ev.ate_ekf),
+            ]:
+                lines.append(
+                    f"{name}: mean={float(st.mean):.3f}m "
+                    f"median={float(st.median):.3f}m rmse={float(st.rmse):.3f}m "
+                    f"max={float(st.max):.3f}m n={int(st.count)}"
+                )
+        return "\n".join(lines)
+
+
+def fuse_files_chunked(
+    slam_path: str,
+    gps_path: str,
+    config: FusionConfig = FusionConfig(),
+    frame: str = "utm",
+    seed: int = 0,
+    chunk_size: int = 262144,
+    halo: int = 64,
+    dtype=None,
+    evaluate: bool = True,
+) -> ChunkedPipelineResult:
+    """End-to-end OUT-OF-CORE fusion: trajectories larger than device memory.
+
+    Same recipe as ``fuse_files`` but every stage streams host chunks
+    (models.fusion_chunked) — alignment, Sim3 window/RANSAC, EKF+RTS, and
+    (with ``evaluate``) the NN/ATE evaluation all keep device residency
+    O(chunk_size). GNSS fixes (~10× sparser than poses) are projected and
+    outlier-gated in core at load time; the pose-length arrays are the ones
+    that stream. For anything that fits on device, ``fuse_files`` is one
+    fused program and strictly faster."""
+    from gps_optimize_slam_tpu.models import fusion_chunked
+
+    step(1, 3, f"loading SLAM trajectory {slam_path}")
+    slam = tum_io.read_tum(slam_path)
+    step(2, 3, f"loading + projecting + gating GNSS {gps_path} ({frame})")
+    gps = load_and_project_gps(
+        gps_path, config.gps_filtering_ransac, frame=frame, seed=seed, dtype=dtype
+    )
+    offset = estimate_offset(slam, gps, config)
+    np_dtype = np.dtype("float64" if jax.config.jax_enable_x64 else "float32")
+    step(3, 3, f"chunked fusion ({chunk_size}-pose chunks) + streamed evaluation")
+    result = fusion_chunked.fuse_core_chunked(
+        np.asarray(slam["timestamps"]),
+        np.asarray(slam["positions"]),
+        np.asarray(slam["quaternions"]),
+        np.asarray(gps.timestamps),
+        np.asarray(gps.positions),
+        gps_valid=np.asarray(gps.valid),
+        key=jax.random.PRNGKey(seed),
+        config=config,
+        time_offset=float(offset),
+        chunk_size=chunk_size,
+        halo=halo,
+        dtype=np_dtype,
+    )
+    if not result.ok:
+        raise RuntimeError(
+            "Sim3 global alignment failed (not enough temporally aligned "
+            "points or RANSAC consensus too small)"
+        )
+    ev = None
+    if evaluate:
+        ev = fusion_chunked.evaluate_chunked(
+            np.asarray(slam["timestamps"]),
+            np.asarray(slam["positions"]),
+            np.asarray(slam["quaternions"]),
+            result,
+            chunk_size=chunk_size,
+            dtype=np_dtype,
+        )
+    return ChunkedPipelineResult(
+        slam=slam,
+        gps=gps,
+        result=result,
+        evaluation=ev,
+        config=config,
+        time_offset=float(offset),
+    )
+
+
 def refine_pose_graph(
     result: FusionResult,
     iterations: int = 10,

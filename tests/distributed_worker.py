@@ -43,6 +43,12 @@ def main():
     import jax
 
     jax.config.update("jax_enable_x64", True)
+    # Share the suite's persistent compilation cache: the fusion program is
+    # identical across runs, so warm runs skip the multi-minute XLA compile.
+    _cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    os.makedirs(_cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     assert jax.process_count() == nproc, jax.process_count()
     assert jax.device_count() == 2 * nproc, jax.device_count()
 

@@ -164,3 +164,40 @@ def test_fuse_core_chunked_matches_incore_end_to_end():
     np.testing.assert_allclose(
         out.corrected_quat, np.asarray(ref.corrected_quat), atol=1e-8
     )
+
+
+def test_evaluate_chunked_matches_incore():
+    """Streamed evaluation (ROADMAP: out-of-core NN accumulator) ≡
+    fusion.evaluate on the same fused outputs. Fusion parity is covered by
+    the e2e test above; here the in-core outputs are wrapped as a
+    ChunkedFusionResult so only the evaluator differs."""
+    (st, sp, sq), (gt, gp, gv) = _scenario(seed=3)
+    cfg = FusionConfig()
+    ref = fusion.fuse_core(
+        jnp.asarray(st), jnp.asarray(sp), jnp.asarray(sq),
+        jnp.asarray(gt), jnp.asarray(gp), jnp.asarray(gv),
+        jax.random.PRNGKey(0), config=cfg,
+    )
+    assert bool(ref.ok)
+    want = fusion.evaluate(jnp.asarray(st), jnp.asarray(sp), ref)
+
+    res = fusion_chunked.ChunkedFusionResult(
+        corrected_pos=np.asarray(ref.corrected_pos),
+        corrected_quat=np.asarray(ref.corrected_quat),
+        sim3=ref.sim3,
+        aligned_gps=np.asarray(ref.aligned_gps),
+        gps_valid=np.asarray(ref.gps_valid),
+        num_inliers=int(jnp.sum(ref.sim3_inliers)),
+        ok=True,
+    )
+    # chunk 131: traj and candidate streams split mid-gate, padded tails.
+    got = fusion_chunked.evaluate_chunked(st, sp, sq, res, chunk_size=131)
+
+    for name in ("nn_slam", "nn_sim3", "nn_ekf", "ate_sim3", "ate_ekf"):
+        w, g = getattr(want, name), getattr(got, name)
+        assert int(g.count) == int(w.count), name
+        for f in ("mean", "median", "rmse", "max"):
+            np.testing.assert_allclose(
+                float(getattr(g, f)), float(getattr(w, f)), atol=1e-9,
+                err_msg=f"{name}.{f}",
+            )
