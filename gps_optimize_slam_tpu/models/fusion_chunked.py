@@ -143,30 +143,41 @@ def nn_errors_streamed(
         out = np.full(n, np.inf, dtype)
     kernel = _nn_block_kernel(dtype.name)
     m = candidates.shape[0]
+    # Block size for the NN reduction itself: the Pallas path (accelerators)
+    # streams VMEM tiles and never materialises the block matrix, so the
+    # full chunk is fine; the jnp fallback (CPU) materialises
+    # (blk, blk) distances — cap it (4096² f64 = 134 MB). Also shrink to
+    # the problem so a 271-pose trajectory doesn't pad to 262144.
+    blk = chunk_size if jax.default_backend() != "cpu" else min(chunk_size, 4096)
+    blk = min(blk, max(_round_up8(n), _round_up8(m)))
     cands_np = np.nan_to_num(np.asarray(candidates, dtype), nan=0.0)
-    for a in range(0, n, chunk_size):
-        b = min(a + chunk_size, n)
-        traj_blk = _pad_rows(np.asarray(traj_chunk_fn(a, b), dtype), chunk_size)
-        tmask_blk = np.zeros(chunk_size, bool)
+    for a in range(0, n, blk):
+        b = min(a + blk, n)
+        traj_blk = _pad_rows(np.asarray(traj_chunk_fn(a, b), dtype), blk)
+        tmask_blk = np.zeros(blk, bool)
         tmask_blk[: b - a] = np.asarray(traj_mask[a:b], bool)
-        running = jnp.full((chunk_size,), np.inf, jnp.dtype(dtype.name))
+        running = jnp.full((blk,), np.inf, jnp.dtype(dtype.name))
         tdev = jax.device_put(traj_blk)
         tmdev = jax.device_put(tmask_blk)
-        for c in range(0, m, chunk_size):
-            d = min(c + chunk_size, m)
-            cmask_blk = np.zeros(chunk_size, bool)
+        for c in range(0, m, blk):
+            d = min(c + blk, m)
+            cmask_blk = np.zeros(blk, bool)
             cmask_blk[: d - c] = np.asarray(cand_mask[c:d], bool)
             if not cmask_blk.any():
                 continue
             running = kernel(
                 running,
                 tdev,
-                jax.device_put(_pad_rows(cands_np[c:d], chunk_size)),
+                jax.device_put(_pad_rows(cands_np[c:d], blk)),
                 tmdev,
                 jax.device_put(cmask_blk),
             )
         out[a:b] = np.asarray(running)[: b - a]
     return out
+
+
+def _round_up8(x: int) -> int:
+    return max(8, ((x + 7) // 8) * 8)
 
 
 def _stats_host(errors: np.ndarray, mask: np.ndarray) -> metrics.ErrorStats:

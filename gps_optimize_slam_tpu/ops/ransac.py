@@ -84,7 +84,17 @@ def sim3_ransac(
     # without); collisions have probability ~k²/2n and merely yield a
     # degenerate trial that loses the consensus vote — converged results
     # are unchanged (and seed-independence is tested).
-    order = jnp.argsort(jnp.where(valid, 0, 1), stable=True)
+    # Scatter-based compaction (same trick as alignment._compact_sort):
+    # each index's destination is its rank among valid (front) / invalid
+    # (back) rows — a unique permutation, so scattering iota through it
+    # yields the stable partition WITHOUT the O(n log² n) argsort network
+    # (TPU sorts were ~60% of this stage's time at all-KITTI scale).
+    iota = jnp.arange(n, dtype=jnp.int32)
+    cv = jnp.cumsum(valid.astype(jnp.int32))
+    pos = jnp.where(valid, cv - 1, n_valid.astype(jnp.int32) + iota - cv)
+    order = (
+        jnp.zeros((n,), jnp.int32).at[pos].set(iota, unique_indices=True)
+    )
     thr2 = cfg.residual_threshold**2
 
     def trial_fit(k):
@@ -104,11 +114,31 @@ def sim3_ransac(
         fit = trial_fit(k)
         return jnp.where(fit.ok, jnp.sum(trial_mask(fit)), -1).astype(jnp.int32)
 
+    # On accelerators, count consensus with the Pallas tiled kernel: the
+    # vmapped jnp count streams O(trials·points) intermediates through HBM
+    # (the RANSAC stage's bandwidth wall at all-KITTI scale); the kernel
+    # accumulates counts in VMEM with O(points + trials) traffic. The
+    # winner's mask/refit below always uses the jnp arithmetic, so converged
+    # outputs are unchanged (counts may differ only for residuals within
+    # f32 rounding of the threshold — a different-but-equivalent consensus).
+    use_pallas = jax.default_backend() not in ("cpu",)
+
+    def batch_counts(ks):
+        if use_pallas:
+            from gps_optimize_slam_tpu.ops.pallas_kernels import ransac_counts
+
+            fits = jax.vmap(trial_fit)(ks)
+            c = ransac_counts(
+                src, dst, valid, fits.R, fits.t, fits.scale, thr2=float(thr2)
+            )
+            return jnp.where(fits.ok, c, -1).astype(jnp.int32)
+        return jax.vmap(trial_count)(ks)
+
     # Trials return COUNTS only — the (trials × points) inlier matrix never
     # materialises in HBM; the winner's mask is recomputed from its key.
     keys = jax.random.split(key, cfg.max_trials)
     if cfg.stop_probability is None:
-        counts = jax.vmap(trial_count)(keys)
+        counts = batch_counts(keys)
         best = jnp.argmax(counts)  # first maximum, like the reference's '>'
         best_key = keys[best]
         best_count = counts[best]
@@ -141,7 +171,7 @@ def sim3_ransac(
 
         def body(state):
             i, best_count, best_key = state
-            counts = jax.vmap(trial_count)(keys[i])
+            counts = batch_counts(keys[i])
             b = jnp.argmax(counts)
             better = counts[b] > best_count  # strict: earlier chunk wins ties
             return (

@@ -30,7 +30,10 @@ jax.config.update("jax_enable_x64", True)
 _cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
 os.makedirs(_cache_dir, exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# Threshold 0: tests drive much of the library EAGERLY, so a module's cost
+# is hundreds of sub-second per-op compiles — with the default 1 s floor
+# none of them persisted and every clear_caches() re-paid them all.
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 # XLA:CPU JIT stability: this jaxlib segfaults in backend_compile (or in
 # executable serialize/deserialize) on whichever program is compiled after
@@ -46,7 +49,18 @@ import pytest  # noqa: E402
 
 @pytest.fixture(autouse=True, scope="module")
 def _bound_live_jit_state_per_module():
+    # Re-pin the suite cache each module: the in-process CLI tests call
+    # utils.cache.enable_persistent_cache(), which would otherwise repoint
+    # every later module at the user cache with the 1 s threshold (leaving
+    # the suite's eager-op compiles uncached — measured +4 min of suite).
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     yield
+    # Measured both cadences on this host: clearing every 4th module (to
+    # save re-deserializations) is a net LOSS (13:39 vs 12:17 suite) — the
+    # accumulated live executables degrade XLA:CPU well before they crash
+    # it (test_kalman_parallel golden parity 24 s → 75 s). Per-module
+    # clearing is both the stability mitigation and the fast option.
     jax.clear_caches()
 
 # Make the repo root importable regardless of pytest invocation directory.

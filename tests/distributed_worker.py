@@ -48,7 +48,7 @@ def main():
     _cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
     os.makedirs(_cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     assert jax.process_count() == nproc, jax.process_count()
     assert jax.device_count() == 2 * nproc, jax.device_count()
 

@@ -10,6 +10,17 @@ from gps_optimize_slam_tpu.cli import build_parser, main
 from tests.conftest import reference_fixture
 
 
+@pytest.fixture(autouse=True)
+def _keep_suite_cache(monkeypatch):
+    """cli.main() repoints the persistent compile cache at the user cache
+    (1 s threshold) — in-suite that would orphan every later eager-op
+    compile. Keep the suite cache active; the cache plumbing itself is
+    incidental to the CLI behavior under test."""
+    from gps_optimize_slam_tpu.utils import cache as cache_mod
+
+    monkeypatch.setattr(cache_mod, "enable_persistent_cache", lambda *a, **k: "")
+
+
 def test_fuse_json_with_gt_and_outputs(tmp_path, capsys):
     out = tmp_path / "fused_utm.txt"
     rc = main(
@@ -387,3 +398,44 @@ def test_viz_layer_toggles_reference_checkbuttons(tmp_path):
     check.set_active(idx)
     assert all(a.get_visible() for a in layers["Sim3 Aligned"])
     plt.close(fig)
+
+
+def test_fuse_chunked_cli(tmp_path, capsys):
+    """`fuse --chunked` (out-of-core path) reproduces the golden seq-04
+    numbers and exports a TUM file. chunk-size 159 shares the chunked-kernel
+    shape test_fusion_chunked/test_kalman_chunked already compile."""
+    out = tmp_path / "fused_chunked.txt"
+    rc = main(
+        [
+            "fuse",
+            reference_fixture("yolotum04.txt"),
+            reference_fixture("combined_output.txt"),
+            "--chunked",
+            "--chunk-size",
+            "159",
+            "-o",
+            str(out),
+            "--json",
+        ]
+    )
+    assert rc == 0
+    captured = capsys.readouterr().out
+    payload = json.loads(captured[: captured.rindex("}") + 1])
+    assert payload["poses"] == 271
+    assert payload["chunked"] is True
+    assert abs(payload["sim3_scale"] - 0.986986) < 1e-5
+    assert abs(payload["nn_vs_primary"]["ekf"]["rmse_m"] - 0.0839) < 1e-3
+    assert np.loadtxt(str(out)).shape == (271, 8)
+
+
+def test_fuse_chunked_rejects_incore_flags(capsys):
+    rc = main(
+        [
+            "fuse",
+            reference_fixture("yolotum04.txt"),
+            reference_fixture("combined_output.txt"),
+            "--chunked",
+            "--robust",
+        ]
+    )
+    assert rc == 2

@@ -71,3 +71,48 @@ def test_nn_min_dist2_all_masked_gives_inf():
         nn_min_dist2(traj, cands, jnp.zeros(7, bool), interpret=True)
     )
     assert np.all(np.isinf(d2))
+
+
+def test_ransac_counts_matches_reference():
+    """Tiled consensus-count kernel ≡ the jnp trials×points formulation
+    (ops.ransac trial_mask arithmetic), including invalid points, failed
+    fits handled by the caller, and non-tile-aligned T/N."""
+    from gps_optimize_slam_tpu.ops.pallas_kernels import ransac_counts
+
+    rng = np.random.default_rng(1)
+    n, T = 700, 37
+    src = rng.normal(size=(n, 3)).astype(np.float32) * 30
+    Rz = []
+    for a in rng.uniform(0, 2 * np.pi, T):
+        c, s_ = np.cos(a), np.sin(a)
+        Rz.append([[c, -s_, 0], [s_, c, 0], [0, 0, 1]])
+    R = np.asarray(Rz, np.float32)
+    t = rng.normal(size=(T, 3)).astype(np.float32) * 5
+    s = rng.uniform(0.8, 1.2, T).astype(np.float32)
+    # dst from trial 0's transform + noise so counts vary across trials.
+    dst = (s[0] * src @ R[0].T + t[0] + rng.normal(size=(n, 3)) * 1.5).astype(
+        np.float32
+    )
+    valid = rng.random(n) > 0.15
+    thr2 = 16.0
+
+    got = np.asarray(
+        ransac_counts(
+            jnp.asarray(src), jnp.asarray(dst), jnp.asarray(valid),
+            jnp.asarray(R), jnp.asarray(t), jnp.asarray(s),
+            thr2=thr2, interpret=True,
+        )
+    )
+    pred = s[:, None, None] * np.einsum(
+        "tij,nj->tni", R.astype(np.float64), src.astype(np.float64)
+    ) + t.astype(np.float64)[:, None, :]
+    res2 = ((pred - dst[None].astype(np.float64)) ** 2).sum(-1)
+    want = ((res2 < thr2) & valid[None, :]).sum(-1).astype(np.int32)
+    # The kernel evaluates the centered quadratic-form expansion in f32 —
+    # residuals within rounding of the threshold may flip; bound the
+    # disagreement per trial by the boundary population.
+    slack = ((np.abs(res2 - thr2) < 1e-2) & valid[None, :]).sum(-1)
+    assert (np.abs(got - want) <= slack).all(), (got - want, slack)
+    # And on a comfortable margin the counts must be exact.
+    exact = slack == 0
+    np.testing.assert_array_equal(got[exact], want[exact])
