@@ -109,10 +109,12 @@ def fuse_core(
     # latency dominates), the O(N) sequential path on CPU (where it is
     # faster to compile and fast enough to run — and bit-faithful to the
     # reference). Decided at trace time; both require/force hard updates.
+    from gps_optimize_slam_tpu.utils.backend import effective_platform
+
     use_parallel = config.ekf_scan == "parallel" or (
         config.ekf_scan == "auto"
         and config.rts_decision.default_ekf_transition_steps_on_sharp_turn == 0
-        and jax.default_backend() != "cpu"
+        and effective_platform() != "cpu"
     )
     fuse_fn = kalman_parallel.fuse_ekf_rts_parallel if use_parallel else kalman.fuse_ekf_rts
     corrected_pos, corrected_quat = fuse_fn(

@@ -148,7 +148,9 @@ def nn_errors_streamed(
     # full chunk is fine; the jnp fallback (CPU) materialises
     # (blk, blk) distances — cap it (4096² f64 = 134 MB). Also shrink to
     # the problem so a 271-pose trajectory doesn't pad to 262144.
-    blk = chunk_size if jax.default_backend() != "cpu" else min(chunk_size, 4096)
+    from gps_optimize_slam_tpu.utils.backend import effective_platform
+
+    blk = chunk_size if effective_platform() != "cpu" else min(chunk_size, 4096)
     blk = min(blk, max(_round_up8(n), _round_up8(m)))
     cands_np = np.nan_to_num(np.asarray(candidates, dtype), nan=0.0)
     for a in range(0, n, blk):

@@ -126,10 +126,12 @@ def fuse_robust(
             aligned_gps, avail, accepted, params, gate_chi2,
         )
 
+    from gps_optimize_slam_tpu.utils.backend import effective_platform
+
     use_parallel = scan == "parallel" or (
         scan == "auto"
         and rts_cfg.default_ekf_transition_steps_on_sharp_turn == 0
-        and jax.default_backend() != "cpu"
+        and effective_platform() != "cpu"
     )
     fuse_fn = (
         kalman_parallel.fuse_ekf_rts_parallel if use_parallel else kalman.fuse_ekf_rts

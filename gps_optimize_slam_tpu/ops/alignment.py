@@ -606,8 +606,10 @@ def align_gps_to_slam(
     j = jnp.searchsorted(t, slam_times, side="right", method=ss_method) - 1
     j = jnp.clip(j, 0, m - 1)
 
+    from gps_optimize_slam_tpu.utils.backend import effective_platform
+
     use_matmul = gather == "matmul" or (
-        gather == "auto" and jax.default_backend() != "cpu"
+        gather == "auto" and effective_platform() != "cpu"
     )
     if use_matmul:
         # TPU path: the ~13 per-point/per-interval fetches become TWO

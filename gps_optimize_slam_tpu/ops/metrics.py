@@ -76,7 +76,9 @@ def nn_errors_auto(
     the fused jnp path runs; results agree to f32 rounding (the kernel
     computes the same unrolled Σ(aₖ−bₖ)² with no matmul cancellation)."""
     n, m = traj.shape[0], candidates.shape[0]
-    if n * m >= PALLAS_NN_MIN_WORK and jax.default_backend() != "cpu":
+    from gps_optimize_slam_tpu.utils.backend import effective_platform
+
+    if n * m >= PALLAS_NN_MIN_WORK and effective_platform() != "cpu":
         from gps_optimize_slam_tpu.ops.pallas_kernels import nn_errors_pallas
 
         return nn_errors_pallas(traj, candidates, traj_mask, cand_mask)

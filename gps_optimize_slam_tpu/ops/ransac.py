@@ -121,7 +121,9 @@ def sim3_ransac(
     # winner's mask/refit below always uses the jnp arithmetic, so converged
     # outputs are unchanged (counts may differ only for residuals within
     # f32 rounding of the threshold — a different-but-equivalent consensus).
-    use_pallas = jax.default_backend() not in ("cpu",)
+    from gps_optimize_slam_tpu.utils.backend import effective_platform
+
+    use_pallas = effective_platform() not in ("cpu",)
 
     def batch_counts(ks):
         if use_pallas:
