@@ -330,21 +330,25 @@ def main():
     wall_ms = float(np.median(ts)) / K
     n_poses = len(slam["timestamps"])
 
-    # Accuracy cross-check vs CPU float64 (golden-verified path).
+    # Accuracy cross-check vs CPU float64 (golden-verified path). The scoped
+    # enable_x64 matters: without it device_put truncates the f64 host
+    # arrays to f32 and the "f64 reference" silently computes in f32.
     extras = {}
     try:
         cpu = jax.devices("cpu")[0]
-        args64 = tuple(
-            jax.device_put(
-                np.asarray(a, np.float64) if np.asarray(a).dtype.kind == "f" else np.asarray(a),
-                cpu,
-            )
-            for a in args[:-1]
-        ) + (jax.device_put(np.asarray(args[-1]), cpu),)
-        # Sequential scan for the CPU reference: "auto" would resolve against
-        # the TPU default backend and compile the (CPU-slow) parallel path.
+        # Sequential scan for the CPU reference: the (CPU-slow) parallel
+        # path costs minutes here for nothing.
         cfg_cpu = cfg.replace(ekf_scan="sequential")
-        with jax.default_device(cpu):
+        with jax.enable_x64(True), jax.default_device(cpu):
+            args64 = tuple(
+                jax.device_put(
+                    np.asarray(a, np.float64)
+                    if np.asarray(a).dtype.kind == "f"
+                    else np.asarray(a),
+                    cpu,
+                )
+                for a in args[:-1]
+            ) + (jax.device_put(np.asarray(args[-1]), cpu),)
             ref = fusion.fuse_core(*args64, config=cfg_cpu)
         dev = float(
             jnp.max(
