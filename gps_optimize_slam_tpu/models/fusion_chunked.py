@@ -23,6 +23,7 @@ import jax.numpy as jnp
 from gps_optimize_slam_tpu.config import FusionConfig
 from gps_optimize_slam_tpu.ops import alignment_chunked, kalman_chunked, metrics, se3
 from gps_optimize_slam_tpu.ops.umeyama import Sim3
+from gps_optimize_slam_tpu.utils import streaming
 
 
 class ChunkedFusionResult(NamedTuple):
@@ -57,7 +58,8 @@ def transform_trajectory_chunked(
     out_pos: Optional[np.ndarray] = None,
     out_quat: Optional[np.ndarray] = None,
 ):
-    """``se3.transform_trajectory`` streamed over host chunks."""
+    """``se3.transform_trajectory`` streamed over host chunks (software-
+    pipelined; ``out_*`` must not alias the inputs)."""
     n = len(slam_pos)
     dtype = np.dtype(dtype)
     if out_pos is None:
@@ -69,17 +71,25 @@ def transform_trajectory_chunked(
     R = jnp.asarray(np.asarray(sim3.R), jdt)
     t = jnp.asarray(np.asarray(sim3.t), jdt)
     s = jnp.asarray(np.asarray(sim3.scale), jdt)
-    for a in range(0, n, chunk_size):
-        b = min(a + chunk_size, n)
-        p, q = kernel(
+
+    def _stage(ab):
+        a, b = ab
+        return (
             jax.device_put(np.asarray(slam_pos[a:b], dtype)),
             jax.device_put(np.asarray(slam_quat[a:b], dtype)),
-            R,
-            t,
-            s,
         )
-        out_pos[a:b] = np.asarray(p)
-        out_quat[a:b] = np.asarray(q)
+
+    def _drain(ab, pq):
+        a, b = ab
+        out_pos[a:b] = np.asarray(pq[0])
+        out_quat[a:b] = np.asarray(pq[1])
+
+    streaming.stream_chunks(
+        ((a, min(a + chunk_size, n)) for a in range(0, n, chunk_size)),
+        _stage,
+        lambda ab, staged: kernel(*staged, R, t, s),
+        _drain,
+    )
     return out_pos, out_quat
 
 
@@ -161,19 +171,31 @@ def nn_errors_streamed(
         running = jnp.full((blk,), np.inf, jnp.dtype(dtype.name))
         tdev = jax.device_put(traj_blk)
         tmdev = jax.device_put(tmask_blk)
-        for c in range(0, m, blk):
-            d = min(c + blk, m)
+
+        def _cstage(cd):
+            c, d = cd
             cmask_blk = np.zeros(blk, bool)
             cmask_blk[: d - c] = np.asarray(cand_mask[c:d], bool)
             if not cmask_blk.any():
-                continue
-            running = kernel(
-                running,
-                tdev,
+                return None
+            return (
                 jax.device_put(_pad_rows(cands_np[c:d], blk)),
-                tmdev,
                 jax.device_put(cmask_blk),
             )
+
+        def _claunch(cd, staged):
+            nonlocal running
+            if staged is not None:
+                running = kernel(running, tdev, staged[0], tmdev, staged[1])
+
+        # Pipelined candidate streaming: block c+1's host pad + transfer
+        # overlaps block c's kernel (utils.streaming).
+        streaming.stream_chunks(
+            ((c, min(c + blk, m)) for c in range(0, m, blk)),
+            _cstage,
+            _claunch,
+            None,
+        )
         out[a:b] = np.asarray(running)[: b - a]
     return out
 
@@ -256,15 +278,24 @@ def evaluate_chunked(
 
     def ate(fn):
         e = np.full(n, np.inf, dtype)
-        for a in range(0, n, chunk_size):
-            b = min(a + chunk_size, n)
-            e[a:b] = np.asarray(
-                akernel(
-                    jax.device_put(np.asarray(fn(a, b), dtype)),
-                    jax.device_put(ref_np[a:b]),
-                    jax.device_put(gate[a:b]),
-                )
+
+        def _stage(ab):
+            a, b = ab
+            return (
+                jax.device_put(np.asarray(fn(a, b), dtype)),
+                jax.device_put(ref_np[a:b]),
+                jax.device_put(gate[a:b]),
             )
+
+        def _drain(ab, out_blk):
+            e[ab[0] : ab[1]] = np.asarray(out_blk)
+
+        streaming.stream_chunks(
+            ((a, min(a + chunk_size, n)) for a in range(0, n, chunk_size)),
+            _stage,
+            lambda ab, staged: akernel(*staged),
+            _drain,
+        )
         return _stats_host(e, gate)
 
     return Evaluation(

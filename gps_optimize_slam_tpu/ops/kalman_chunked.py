@@ -40,6 +40,7 @@ from gps_optimize_slam_tpu.config import EKFConfig, RTSDecisionConfig
 from gps_optimize_slam_tpu.ops import se3
 from gps_optimize_slam_tpu.ops import quaternion as quat
 from gps_optimize_slam_tpu.ops.kalman import ekf_params
+from gps_optimize_slam_tpu.utils import streaming
 from gps_optimize_slam_tpu.ops.kalman_parallel import (
     _combine_filter,
     _madd,
@@ -287,9 +288,11 @@ def fuse_ekf_rts_chunked(
 
     All inputs are NumPy arrays (or memmaps); device memory use is
     O(chunk_size). ``out_pos``/``out_quat`` may be preallocated (memmapped)
-    outputs. Equivalent to ``kalman_parallel.fuse_ekf_rts_parallel`` —
-    same element algebra, re-entered across chunks via carried composite
-    elements."""
+    outputs but must NOT alias the inputs — chunk transfers are software-
+    pipelined (utils.streaming), so chunk i+1's input reads precede chunk
+    i's output writes. Equivalent to
+    ``kalman_parallel.fuse_ekf_rts_parallel`` — same element algebra,
+    re-entered across chunks via carried composite elements."""
     if rts_cfg.default_ekf_transition_steps_on_sharp_turn != 0:
         raise ValueError("chunked scan requires hard updates (transition steps == 0)")
     n = len(slam_times)
@@ -327,11 +330,17 @@ def fuse_ekf_rts_chunked(
     P_f6_all[0] = [P0_diag[0], 0.0, 0.0, P0_diag[1], 0.0, P0_diag[2]]
 
     # --- forward chunks over steps k = 0..n-2 (step k joins poses k,k+1) ---
+    # Software-pipelined (utils.streaming): while the device runs chunk i,
+    # the host stages chunk i+1 and drains chunk i-1 — only the carry chain
+    # serialises the kernel launches themselves.
     L = int(chunk_size)
-    for a in range(0, n - 1, L):
-        b = min(a + L, n - 1)
+
+    def _fwd_stage(ab):
+        a, b = ab
         # Pad the last chunk to the fixed kernel shape with repeats (zero
-        # motion, invalid GPS — inert steps whose outputs are discarded).
+        # motion, invalid GPS — inert steps whose outputs are discarded;
+        # carries are unused after the final chunk, so their pollution by
+        # padded steps is harmless).
         lb = b - a
         sl_t = np.asarray(slam_times[a : b + 1], dtype)
         sl_p = np.asarray(slam_pos[a : b + 1], dtype)
@@ -345,25 +354,29 @@ def fuse_ekf_rts_chunked(
             sl_q = np.concatenate([sl_q, np.repeat(sl_q[-1:], padp, 0)])
             z = np.concatenate([z, np.zeros((padp, 3), dtype)])
             av = np.concatenate([av, np.zeros(padp, bool)])
-        qf, m_f, P_f6, d, Qd, q_carry_new, elem_carry_new = fwd(
-            jax.device_put(sl_t),
-            jax.device_put(sl_p),
-            jax.device_put(sl_q),
-            jax.device_put(z),
-            jax.device_put(av),
-            q_carry,
-            elem_carry,
-        )
+        return tuple(jax.device_put(x) for x in (sl_t, sl_p, sl_q, z, av))
+
+    def _fwd_launch(ab, staged):
+        nonlocal q_carry, elem_carry
+        qf, m_f, P_f6, d, Qd, q_carry, elem_carry = fwd(*staged, q_carry, elem_carry)
+        return qf, m_f, P_f6, d, Qd
+
+    def _fwd_drain(ab, launched):
+        a, b = ab
+        lb = b - a
+        qf, m_f, P_f6, d, Qd = launched
         out_quat[a + 1 : b + 1] = np.asarray(qf)[:lb]
         m_f_all[a + 1 : b + 1] = np.asarray(m_f)[:lb]
         P_f6_all[a + 1 : b + 1] = np.asarray(P_f6)[:lb]
         d_all[a:b] = np.asarray(d)[:lb]
         Qd_all[a:b] = np.asarray(Qd)[:lb]
-        if lb < L:
-            # Padded steps polluted the carries; recompute from real tail.
-            # (Only possible on the final chunk — carries unused after.)
-            pass
-        q_carry, elem_carry = q_carry_new, elem_carry_new
+
+    streaming.stream_chunks(
+        ((a, min(a + L, n - 1)) for a in range(0, n - 1, L)),
+        _fwd_stage,
+        _fwd_launch,
+        _fwd_drain,
+    )
 
     # --- backward chunks (suffix scan) ---
     bwd = _bwd_kernel(jdt)
@@ -373,8 +386,8 @@ def fuse_ekf_rts_chunked(
     # Anchor carry: (M=0, c=m_f[n-1]).
     carry_M = jax.device_put(np.zeros(9, dtype))
     carry_c = jax.device_put(np.asarray(m_f_all[n - 1], dtype))
-    for b in range(n - 1, 0, -L):
-        a = max(b - L, 0)
+    def _bwd_stage(ab):
+        a, b = ab
         lb = b - a
         m_f = np.asarray(m_f_all[a:b], dtype)
         P_f6 = np.asarray(P_f6_all[a:b], dtype)
@@ -393,16 +406,24 @@ def fuse_ekf_rts_chunked(
             d = np.concatenate([np.zeros((padp, 3), dtype), d])
             Qd = np.concatenate([np.ones((padp, 3), dtype), Qd])
             it = np.concatenate([np.zeros(padp, bool), it])
-        m_s, carry_M, carry_c = bwd(
-            jax.device_put(m_f),
-            jax.device_put(P_f6),
-            jax.device_put(d),
-            jax.device_put(Qd),
-            jax.device_put(it),
-            carry_M,
-            carry_c,
-        )
+        return tuple(jax.device_put(x) for x in (m_f, P_f6, d, Qd, it))
+
+    def _bwd_launch(ab, staged):
+        nonlocal carry_M, carry_c
+        m_s, carry_M, carry_c = bwd(*staged, carry_M, carry_c)
+        return m_s
+
+    def _bwd_drain(ab, m_s):
+        a, b = ab
+        lb = b - a
         m_s_all[a:b] = np.asarray(m_s)[L - lb :] if lb < L else np.asarray(m_s)
+
+    streaming.stream_chunks(
+        ((max(b - L, 0), b) for b in range(n - 1, 0, -L)),
+        _bwd_stage,
+        _bwd_launch,
+        _bwd_drain,
+    )
 
     use = member[:, None]
     out_pos[:] = np.where(use, m_s_all, m_f_all)
