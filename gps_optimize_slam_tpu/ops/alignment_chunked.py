@@ -40,6 +40,7 @@ import jax.numpy as jnp
 from gps_optimize_slam_tpu.config import Sim3RansacConfig, TimeAlignConfig
 from gps_optimize_slam_tpu.ops import alignment, ransac
 from gps_optimize_slam_tpu.ops.umeyama import Sim3, umeyama_sim3_from_moments
+from gps_optimize_slam_tpu.utils import streaming
 
 
 # ---------------------------------------------------------------------------
@@ -230,7 +231,11 @@ def align_gps_to_slam_chunked(
     w = min(_round_up(w_need, 256), m) if m > 256 else m
 
     kernel = _align_kernel(cfg, dtype.name)
-    for a, b, lo, hi in bounds:
+
+    # Chunks are independent programs — software-pipelined like the other
+    # out-of-core drivers (utils.streaming).
+    def _stage(item):
+        a, b, lo, hi = item
         hi = min(max(hi, lo + w), m)
         lo = max(hi - w, 0)
         st = np.full(nc, np.inf, dtype)
@@ -241,18 +246,21 @@ def align_gps_to_slam_chunked(
         wt[: hi - lo] = t_c[lo:hi]
         wp[: hi - lo] = p_c[lo:hi]
         wo[: hi - lo] = ok_c[lo:hi]
-        aligned, valid = kernel(
-            jax.device_put(st),
-            jax.device_put(wt),
-            jax.device_put(wp),
-            jax.device_put(wo),
-        )
-        out_aligned[a:b] = np.asarray(aligned)[: b - a]
-        out_valid[a:b] = np.asarray(valid)[: b - a]
         # Window-local view cannot know about GPS knots BEFORE the window:
         # a slam timestamp earlier than the window's first knot was already
         # marked invalid by the kernel (slam_times >= t[0]), which is also
         # globally correct since lo>0 implies t_c[lo] <= ta.
+        return tuple(jax.device_put(x) for x in (st, wt, wp, wo))
+
+    def _drain(item, out):
+        a, b = item[0], item[1]
+        aligned, valid = out
+        out_aligned[a:b] = np.asarray(aligned)[: b - a]
+        out_valid[a:b] = np.asarray(valid)[: b - a]
+
+    streaming.stream_chunks(
+        bounds, _stage, lambda item, staged: kernel(*staged), _drain
+    )
     return out_aligned, out_valid
 
 
@@ -405,19 +413,35 @@ def sim3_ransac_streaming(
     src_np = np.asarray(src)
     dst_np = np.asarray(dst)
     chunks = []
-    wsum = np.zeros((), dtype)
-    ssum = np.zeros(3, dtype)
-    dsum = np.zeros(3, dtype)
-    for a in range(0, n_win, chunk_size):
-        ci = idx[a : a + chunk_size]
-        sc = jax.device_put(np.asarray(src_np[ci], dtype))
-        dc = jax.device_put(np.asarray(dst_np[ci], dtype))
+    jdt = jnp.dtype(dtype.name)
+    # Pipelined (utils.streaming); the scalar/3-vector moment accumulators
+    # stay device-side so the per-chunk reductions never block the stream.
+    acc = {"w": jnp.zeros((), jdt), "s": jnp.zeros(3, jdt), "d": jnp.zeros(3, jdt)}
+
+    def _m1_stage(ci):
+        return (
+            jax.device_put(np.asarray(src_np[ci], dtype)),
+            jax.device_put(np.asarray(dst_np[ci], dtype)),
+        )
+
+    def _m1_launch(ci, staged):
+        sc, dc = staged
         w = inl_k(sc, dc, jnp.ones(len(ci), bool), R, t, s, thr2)
         cw, cs, cd = sums_k(sc, dc, w)
-        wsum += np.asarray(cw)
-        ssum += np.asarray(cs)
-        dsum += np.asarray(cd)
-        chunks.append((ci, np.asarray(w)))
+        acc["w"] = acc["w"] + cw
+        acc["s"] = acc["s"] + cs
+        acc["d"] = acc["d"] + cd
+        return w
+
+    streaming.stream_chunks(
+        (idx[a : a + chunk_size] for a in range(0, n_win, chunk_size)),
+        _m1_stage,
+        _m1_launch,
+        lambda ci, w: chunks.append((ci, np.asarray(w))),
+    )
+    wsum = np.asarray(acc["w"])
+    ssum = np.asarray(acc["s"])
+    dsum = np.asarray(acc["d"])
     n_inl = int(wsum)
     if n_inl < cfg.min_inliers_needed:
         return StreamingSim3Result(
@@ -428,14 +452,25 @@ def sim3_ransac_streaming(
         )
     mu_s = jnp.asarray(ssum / max(wsum, 1.0))
     mu_d = jnp.asarray(dsum / max(wsum, 1.0))
-    H = np.zeros((3, 3), dtype)
-    var = np.zeros((), dtype)
-    for ci, w in chunks:
-        sc = jax.device_put(np.asarray(src_np[ci], dtype))
-        dc = jax.device_put(np.asarray(dst_np[ci], dtype))
-        Hc, vc = centered_k(sc, dc, jnp.asarray(w), mu_s, mu_d)
-        H += np.asarray(Hc)
-        var += np.asarray(vc)
+    acc2 = {"H": jnp.zeros((3, 3), jdt), "v": jnp.zeros((), jdt)}
+
+    def _m2_stage(cw):
+        ci, w = cw
+        return (
+            jax.device_put(np.asarray(src_np[ci], dtype)),
+            jax.device_put(np.asarray(dst_np[ci], dtype)),
+            jax.device_put(w),
+        )
+
+    def _m2_launch(cw, staged):
+        sc, dc, wd = staged
+        Hc, vc = centered_k(sc, dc, wd, mu_s, mu_d)
+        acc2["H"] = acc2["H"] + Hc
+        acc2["v"] = acc2["v"] + vc
+
+    streaming.stream_chunks(chunks, _m2_stage, _m2_launch, None)
+    H = acc2["H"]
+    var = acc2["v"]
     refit = umeyama_sim3_from_moments(
         jnp.asarray(wsum), mu_s, mu_d, jnp.asarray(H), jnp.asarray(var)
     )

@@ -24,6 +24,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from gps_optimize_slam_tpu.config import FusionConfig
 from gps_optimize_slam_tpu.models import fusion
 from gps_optimize_slam_tpu.parallel.batch import SequenceBatch
+from gps_optimize_slam_tpu.utils import streaming
 
 SEQ_AXIS = "seq"
 
@@ -276,18 +277,31 @@ def fuse_buckets(
     compile per bucket shape). ``keys`` is (B_total, 2) in the ORIGINAL
     sequence order. Returns a list in original order of per-sequence
     FusionOutputs with every slam-indexed leaf sliced to the sequence's
-    real length (host NumPy)."""
+    real length (host NumPy).
+
+    Buckets are independent programs, so the sweep is software-pipelined
+    (utils.streaming): bucket i+1's staging and bucket i-1's host
+    read-back overlap bucket i's device time."""
     total = sum(len(idxs) for idxs, _ in buckets)
     results = [None] * total
-    for idxs, b in buckets:
-        out = fuse_batch(
-            b,
-            np.asarray(keys)[idxs],
-            config=config,
-            mesh=mesh,
-            dtype=dtype,
-            estimate_offsets=estimate_offsets,
+
+    def _stage(bucket):
+        idxs, b = bucket
+        dt = dtype or jnp.result_type(np.asarray(b.slam_pos).dtype, jnp.float32)
+        toff = (
+            estimate_offsets_batch(b, mesh=mesh, dtype=dt)
+            if estimate_offsets
+            else None
         )
+        return stage_batch(
+            b, np.asarray(keys)[idxs], mesh=mesh, dtype=dt, time_offsets=toff
+        )
+
+    def _launch(bucket, staged):
+        return fuse_batch(staged, config=config, mesh=mesh)
+
+    def _drain(bucket, out):
+        idxs, b = bucket
         host = jax.tree.map(np.asarray, out)
         n_max = b.slam_times.shape[1]
         for row, i in enumerate(idxs):
@@ -300,6 +314,8 @@ def fuse_buckets(
                 return x_row
 
             results[int(i)] = jax.tree.map(slice_leaf, host)
+
+    streaming.stream_chunks(buckets, _stage, _launch, _drain)
     return results
 
 
