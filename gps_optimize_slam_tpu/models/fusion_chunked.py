@@ -324,6 +324,7 @@ def fuse_core_chunked(
     out_pos: Optional[np.ndarray] = None,
     out_quat: Optional[np.ndarray] = None,
     return_sim3_trajectory: bool = False,
+    scan_fn=None,
 ):
     """Full fusion of one arbitrarily long sequence from RAW GNSS.
 
@@ -342,6 +343,10 @@ def fuse_core_chunked(
     Returns ``ChunkedFusionResult`` (host arrays; ``out_*`` may be
     memmapped). With ``return_sim3_trajectory=True`` the result tuple also
     carries the Sim3-transformed trajectory (extra 2 chunked passes).
+
+    ``scan_fn`` (``parallel.seqpar.sequence_parallel_scan(mesh)``) shards
+    each chunk's filter scans over a device mesh — host chunks × device
+    blocks; pick ``chunk_size = k·D − 1`` (see kalman_chunked).
     """
     if key is None:
         key = jax.random.PRNGKey(0)
@@ -403,6 +408,7 @@ def fuse_core_chunked(
         dtype=dtype,
         out_pos=out_pos,
         out_quat=out_quat,
+        scan_fn=scan_fn,
     )
 
     result = ChunkedFusionResult(

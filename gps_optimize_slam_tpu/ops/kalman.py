@@ -92,7 +92,10 @@ def precompute_controls(
     idx = jnp.arange(n)
     avail_prev = jnp.concatenate([avail[:1], avail[:-1]])  # [0] unused
     is_recovery = avail & ~avail_prev
-    is_recovery = is_recovery.at[0].set(False)
+    # iota mask, not .at[0].set: single-index scatters on pose-axis-sharded
+    # arrays are mispartitioned by XLA:CPU GSPMD (applied at every shard's
+    # local index 0 — see ops/kalman_parallel.py prior-element note).
+    is_recovery = is_recovery & (idx != 0)
 
     # Label invalid runs: run start s[j] = (last avail index before j) + 1.
     last_avail = jax.lax.cummax(jnp.where(avail, idx, -1))
@@ -328,7 +331,9 @@ def full_smoother_controls(controls: FusionControls) -> FusionControls:
     n = controls.avail.shape[0]
     return controls._replace(
         rts_member=jnp.ones((n,), bool),
-        rts_end=jnp.zeros((n,), bool).at[n - 1].set(True),
+        # iota comparison, not .at[n-1].set: partition-safe on a sharded
+        # pose axis (see precompute_controls / ops/kalman_parallel.py).
+        rts_end=jnp.arange(n) == n - 1,
     )
 
 

@@ -154,8 +154,9 @@ def _identity_fwd(m0, P0_diag, dtype):
 
 
 @lru_cache(maxsize=16)
-def _fwd_kernel(ekf_cfg: EKFConfig, dtype_name: str):
+def _fwd_kernel(ekf_cfg: EKFConfig, dtype_name: str, scan_fn=None):
     dtype = jnp.dtype(dtype_name)
+    scan = scan_fn or jax.lax.associative_scan
 
     @jax.jit
     def kernel(times, pos, quats, z, avail, q_carry, elem_carry):
@@ -168,7 +169,7 @@ def _fwd_kernel(ekf_cfg: EKFConfig, dtype_name: str):
         R_diag = jnp.diag(params.R).astype(dtype)
 
         dp, dq = se3.relative_poses_along(pos, quats)  # (L,·)
-        qf = parallel_quat_chain(q_carry, dq)  # (L+1,4)
+        qf = parallel_quat_chain(q_carry, dq, scan_fn=scan)  # (L+1,4)
         d = quat.rotate(qf[:-1], dp)  # (L,3)
 
         dt = jnp.maximum(1e-6, times[1:] - times[:-1])
@@ -200,7 +201,7 @@ def _fwd_kernel(ekf_cfg: EKFConfig, dtype_name: str):
             eta=tuple(cat(c, r) for c, r in zip(carry["eta"], eta)),
             J=tuple(cat(c, r) for c, r in zip(carry["J"], J)),
         )
-        out = jax.lax.associative_scan(_combine_filter, elems)
+        out = scan(_combine_filter, elems)
         m_f = jnp.stack([out["b"][i][1:] for i in range(3)], axis=-1)
         P_f6 = jnp.stack([out["C"][i][1:] for i in range(6)], axis=-1)
         last = jax.tree.map(lambda x: x[-1], out)
@@ -218,8 +219,9 @@ def _fwd_kernel(ekf_cfg: EKFConfig, dtype_name: str):
 
 
 @lru_cache(maxsize=16)
-def _bwd_kernel(dtype_name: str):
+def _bwd_kernel(dtype_name: str, scan_fn=None):
     dtype = jnp.dtype(dtype_name)
+    scan = scan_fn or jax.lax.associative_scan
 
     @jax.jit
     def kernel(m_f, P_f6, d, Qd_diag, interior, carry_M, carry_c):
@@ -254,7 +256,7 @@ def _bwd_kernel(dtype_name: str):
             M1, c1 = later["M"], later["c"]
             return dict(M=_mmul(M1, M2), c=_vadd(_mvec(M1, c2), c1))
 
-        out = jax.lax.associative_scan(combine, Mc, reverse=True)
+        out = scan(combine, Mc, reverse=True)
         m_s = jnp.stack([out["c"][i][:-1] for i in range(3)], axis=-1)
         first = jax.tree.map(lambda x: x[0], out)
         return m_s, jnp.stack(first["M"]), jnp.stack(first["c"])
@@ -282,6 +284,7 @@ def fuse_ekf_rts_chunked(
     dtype=np.float64,
     out_pos: np.ndarray = None,
     out_quat: np.ndarray = None,
+    scan_fn=None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """EKF + RTS over a host-resident (possibly memmapped) trajectory of any
     length, streaming fixed-size chunks through the device.
@@ -292,7 +295,13 @@ def fuse_ekf_rts_chunked(
     pipelined (utils.streaming), so chunk i+1's input reads precede chunk
     i's output writes. Equivalent to
     ``kalman_parallel.fuse_ekf_rts_parallel`` — same element algebra,
-    re-entered across chunks via carried composite elements."""
+    re-entered across chunks via carried composite elements.
+
+    ``scan_fn`` (e.g. ``parallel.seqpar.sequence_parallel_scan(mesh)``)
+    shards each chunk's associative scans over a device mesh — host chunks
+    × device blocks, the >HBM form of sequence parallelism. Each scan runs
+    over chunk_size+1 elements (the carried composite is element 0), so
+    pick ``chunk_size = k·D − 1`` for a D-device mesh."""
     if rts_cfg.default_ekf_transition_steps_on_sharp_turn != 0:
         raise ValueError("chunked scan requires hard updates (transition steps == 0)")
     n = len(slam_times)
@@ -316,7 +325,7 @@ def fuse_ekf_rts_chunked(
     params = ekf_params(ekf_cfg, dtype=jnp_.dtype(jdt))
     P0_diag = np.diag(np.asarray(params.P0))[:3]
 
-    fwd = _fwd_kernel(ekf_cfg, jdt)
+    fwd = _fwd_kernel(ekf_cfg, jdt, scan_fn)
     q0 = np.asarray(sim3_quat0, dtype)
     m0 = np.asarray(sim3_pos0, dtype)
     q_carry = jax.device_put(q0)
@@ -379,7 +388,7 @@ def fuse_ekf_rts_chunked(
     )
 
     # --- backward chunks (suffix scan) ---
-    bwd = _bwd_kernel(jdt)
+    bwd = _bwd_kernel(jdt, scan_fn)
     interior_steps = member[:-1] & ~end[:-1] if n > 1 else np.zeros(0, bool)
     m_s_all = np.empty((n, 3), dtype)
     m_s_all[n - 1] = m_f_all[n - 1]

@@ -152,10 +152,15 @@ def _combine_filter(e1, e2):
 
 
 @highp
-def parallel_quat_chain(init_quat: jnp.ndarray, dq: jnp.ndarray) -> jnp.ndarray:
+def parallel_quat_chain(
+    init_quat: jnp.ndarray, dq: jnp.ndarray, scan_fn=jax.lax.associative_scan
+) -> jnp.ndarray:
     """q_k = normalize(q₀ ⊗ δq₁ ⊗ … ⊗ δq_k) for all k, in log depth.
 
-    SoA layout: four (N,) component arrays."""
+    SoA layout: four (N,) component arrays. ``scan_fn`` must implement the
+    ``lax.associative_scan(combine, elems, reverse=...)`` contract — the
+    default runs on one device; ``parallel.seqpar`` passes a cross-device
+    scan to shard the pose axis over a mesh."""
 
     def combine(a, b):
         x1, y1, z1, w1 = a
@@ -170,7 +175,7 @@ def parallel_quat_chain(init_quat: jnp.ndarray, dq: jnp.ndarray) -> jnp.ndarray:
 
     qs = jnp.concatenate([quat.normalize(init_quat)[None], dq], axis=0)
     comps = tuple(qs[:, i] for i in range(4))
-    out = jax.lax.associative_scan(combine, comps)
+    out = scan_fn(combine, comps)
     return jnp.stack(out, axis=-1)
 
 
@@ -183,6 +188,7 @@ def parallel_position_filter(
     R_diag: jnp.ndarray,  # (3,) measurement noise diag
     z: jnp.ndarray,  # (N-1,3) measurements (arbitrary where invalid)
     avail: jnp.ndarray,  # (N-1,) bool
+    scan_fn=jax.lax.associative_scan,
 ):
     """Filtered means (N,3) and covariances of the affine KF x←x+d, H=I.
 
@@ -221,28 +227,27 @@ def parallel_position_filter(
     Jd = jnp.where(avail[:, None], 1.0 / S, 0.0)
     J = diag_s(Jd[:, 0], Jd[:, 1], Jd[:, 2])
 
-    # Prior element 0: (A=0, b=m₀, C=P₀, η=0, J=0).
+    # Prior element 0: (A=0, b=m₀, C=P₀, η=0, J=0). The data-dependent prior
+    # entries are CONCATENATED in directly rather than written with
+    # ``.at[0].set`` — under GSPMD with the pose axis sharded, XLA:CPU
+    # mispartitions that scatter and applies it at the local index 0 of
+    # EVERY shard (first row of each block corrupted; found by
+    # parallel.seqpar's parity test, rows 32/64/96/… on an 8-way mesh).
     def cat(prior_val, rest):
-        return jnp.concatenate([jnp.full((1,), prior_val, dtype), rest])
+        prior = jnp.broadcast_to(jnp.asarray(prior_val, dtype), (1,))
+        return jnp.concatenate([prior, rest])
 
     P0_d = jnp.diag(P0)
+    C_prior = {0: P0_d[0], 3: P0_d[1], 5: P0_d[2]}  # diagonal 6-tuple slots
     elems = dict(
         A=tuple(cat(0.0, a) for a in A),
-        b=tuple(cat(float(0), r) for r in b),
-        C=tuple(cat(0.0, c) for c in C),
+        b=tuple(cat(m0[i], r) for i, r in enumerate(b)),
+        C=tuple(cat(C_prior.get(k, 0.0), c) for k, c in enumerate(C)),
         eta=tuple(cat(0.0, e) for e in eta),
         J=tuple(cat(0.0, j) for j in J),
     )
-    # Set the prior's b and C entries properly (they are data-dependent).
-    elems["b"] = tuple(
-        e.at[0].set(m0[i]) for i, e in enumerate(elems["b"])
-    )
-    C_list = list(elems["C"])
-    for i, k in enumerate((0, 3, 5)):  # diagonal slots of the 6-tuple
-        C_list[k] = C_list[k].at[0].set(P0_d[i])
-    elems["C"] = tuple(C_list)
 
-    out = jax.lax.associative_scan(_combine_filter, elems)
+    out = scan_fn(_combine_filter, elems)
     m_f = _v_to_batched(out["b"])
     return m_f, out["C"]
 
@@ -259,13 +264,20 @@ def fuse_ekf_rts_parallel(
     ekf_cfg: EKFConfig = EKFConfig(),
     rts_cfg: RTSDecisionConfig = RTSDecisionConfig(),
     rts_mode: str = "outage",
+    scan_fn=jax.lax.associative_scan,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Log-depth equivalent of ``kalman.fuse_ekf_rts`` for hard-update
     configs (effective transition steps ≡ 0; guaranteed statically when
     rts_cfg.default_ekf_transition_steps_on_sharp_turn == 0).
 
     ``rts_mode``: "outage" (reference behaviour) or "full" (classic
-    fixed-interval smoothing over the whole trajectory)."""
+    fixed-interval smoothing over the whole trajectory).
+
+    ``scan_fn`` replaces ``lax.associative_scan`` in all three scans (quat
+    chain, forward filter, RTS suffix) — ``parallel.seqpar`` passes the
+    cross-device block scan so ONE trajectory shards its pose axis over a
+    mesh; everything else here is elementwise/local and partitions cleanly
+    under SPMD."""
     if rts_cfg.default_ekf_transition_steps_on_sharp_turn != 0:
         raise ValueError(
             "parallel scan requires hard updates (transition steps == 0); "
@@ -287,7 +299,7 @@ def fuse_ekf_rts_parallel(
 
     # --- quaternion chain + world-frame deltas (all parallel) ---
     dp, dq = se3.relative_poses_along(slam_pos, slam_quat)
-    q_f = parallel_quat_chain(sim3_quat[0], dq)  # (N,4)
+    q_f = parallel_quat_chain(sim3_quat[0], dq, scan_fn=scan_fn)  # (N,4)
     d = quat.rotate(q_f[:-1], dp)  # (N-1,3)
 
     dt = jnp.maximum(1e-6, slam_times[1:] - slam_times[:-1])
@@ -296,7 +308,7 @@ def fuse_ekf_rts_parallel(
     avail = controls.avail[1:]
 
     m_f, P_f6 = parallel_position_filter(
-        sim3_pos[0], P0_pos, d, Qd_diag, R_diag, z, avail
+        sim3_pos[0], P0_pos, d, Qd_diag, R_diag, z, avail, scan_fn=scan_fn
     )
 
     # --- RTS backward (exact associative suffix scan, positions only) ---
@@ -341,7 +353,7 @@ def fuse_ekf_rts_parallel(
         M1, c1 = later["M"], later["c"]
         return dict(M=_mmul(M1, M2), c=_vadd(_mvec(M1, c2), c1))
 
-    out = jax.lax.associative_scan(combine, Mc, reverse=True)
+    out = scan_fn(combine, Mc, reverse=True)
     m_s = _v_to_batched(out["c"])
 
     use = member[:, None]

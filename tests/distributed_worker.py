@@ -81,6 +81,43 @@ def main():
     assert err < 1e-9, f"distributed vs local mismatch: {err}"
     print(f"PARITY_OK {pid} max_err={err:.3e}", flush=True)
 
+    # --- Sequence parallelism ACROSS PROCESSES: one trajectory's pose axis
+    # sharded over the global (2 procs × 2 devices) mesh; the block-scan
+    # all_gather rides the gloo process group. Parity is asserted per
+    # addressable shard against a process-local single-device run.
+    import jax.numpy as jnp
+
+    from gps_optimize_slam_tpu.ops import kalman_parallel
+    from gps_optimize_slam_tpu.parallel import seqpar
+
+    n = 160  # divides the 4-device global mesh
+    s, _, _ = synth(n, seed=7)
+    t = jnp.asarray(s["timestamps"])
+    pos = jnp.asarray(s["positions"])
+    qt = jnp.asarray(s["quaternions"])
+    gz = jnp.asarray(s["positions"] + 0.04)
+    valid = np.ones(n, bool)
+    valid[50:70] = False
+    gv = jnp.asarray(valid)
+
+    gmesh = dist.global_mesh()
+    got_p, got_q = seqpar.fuse_ekf_rts_seqparallel(
+        gmesh, t, pos, qt, pos, qt, gz, gv
+    )
+    with jax.default_device(jax.local_devices()[0]):
+        ref_p, ref_q = kalman_parallel.fuse_ekf_rts_parallel(
+            t, pos, qt, pos, qt, gz, gv
+        )
+    ref_p, ref_q = np.asarray(ref_p), np.asarray(ref_q)
+    seq_err = 0.0
+    for arr, ref in ((got_p, ref_p), (got_q, ref_q)):
+        for shard in arr.addressable_shards:
+            seq_err = max(
+                seq_err, float(np.max(np.abs(np.asarray(shard.data) - ref[shard.index])))
+            )
+    assert seq_err < 1e-9, f"cross-process seqpar mismatch: {seq_err}"
+    print(f"SEQPAR_OK {pid} max_err={seq_err:.3e}", flush=True)
+
 
 if __name__ == "__main__":
     main()

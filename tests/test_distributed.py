@@ -55,3 +55,4 @@ def test_two_process_global_mesh_parity():
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out[-4000:]}"
         assert f"PARITY_OK {pid}" in out, f"worker {pid} no parity line:\n{out[-4000:]}"
+        assert f"SEQPAR_OK {pid}" in out, f"worker {pid} no seqpar line:\n{out[-4000:]}"
