@@ -319,6 +319,111 @@ def fuse_buckets(
     return results
 
 
+def _outputs_to_tree(out: fusion.FusionOutputs) -> dict:
+    d = out._asdict()
+    d["sim3"] = d["sim3"]._asdict()
+    return d
+
+
+def _outputs_from_tree(d: dict) -> fusion.FusionOutputs:
+    from gps_optimize_slam_tpu.ops.umeyama import Sim3
+
+    return fusion.FusionOutputs(**{**d, "sim3": Sim3(**d["sim3"])})
+
+
+def fuse_buckets_checkpointed(
+    buckets,
+    keys,
+    ckpt_dir: str,
+    config: FusionConfig = FusionConfig(),
+    mesh: Optional[Mesh] = None,
+    dtype=None,
+    estimate_offsets: bool = False,
+):
+    """``fuse_buckets`` with per-bucket checkpoint/resume (SURVEY §5;
+    ROADMAP "orbax checkpointing for batched sweeps").
+
+    Each completed bucket is persisted to ``ckpt_dir/bucket_NNNN`` as it
+    drains (orbax state first, metadata.json last — the metadata file is
+    the completion marker). A re-run with the same ``ckpt_dir`` restores
+    finished buckets from disk and only computes the rest, so a killed
+    multi-hour sweep loses at most one bucket of work. Results are
+    identical to ``fuse_buckets`` (kill/resume determinism tested).
+
+    The caller owns cache invalidation: pass a fresh ``ckpt_dir`` when the
+    inputs/config change (bucket composition is sanity-checked against the
+    stored sequence indices)."""
+    import os
+
+    from gps_optimize_slam_tpu.utils import checkpoint as ckpt_util
+
+    total = sum(len(idxs) for idxs, _ in buckets)
+    results = [None] * total
+
+    def _bucket_path(j: int) -> str:
+        return os.path.join(ckpt_dir, f"bucket_{j:04d}")
+
+    pending = []
+    for j, bucket in enumerate(buckets):
+        idxs = np.asarray(bucket[0])
+        bpath = _bucket_path(j)
+        if os.path.exists(os.path.join(bpath, "metadata.json")):
+            state, meta = ckpt_util.restore_checkpoint_untyped(bpath)
+            stored = np.asarray(meta["indices"])
+            if not np.array_equal(stored, idxs):
+                raise ValueError(
+                    f"checkpoint {bpath} was written for sequences "
+                    f"{stored.tolist()}, bucket {j} now holds "
+                    f"{idxs.tolist()} — pass a fresh ckpt_dir"
+                )
+            for i in idxs:
+                results[int(i)] = _outputs_from_tree(state[f"seq_{int(i)}"])
+        else:
+            pending.append((j, bucket))
+
+    def _stage(jb):
+        _, bucket = jb
+        idxs, b = bucket
+        dt = dtype or jnp.result_type(np.asarray(b.slam_pos).dtype, jnp.float32)
+        toff = (
+            estimate_offsets_batch(b, mesh=mesh, dtype=dt)
+            if estimate_offsets
+            else None
+        )
+        return stage_batch(
+            b, np.asarray(keys)[idxs], mesh=mesh, dtype=dt, time_offsets=toff
+        )
+
+    def _launch(jb, staged):
+        return fuse_batch(staged, config=config, mesh=mesh)
+
+    def _drain(jb, out):
+        j, (idxs, b) = jb
+        host = jax.tree.map(np.asarray, out)
+        n_max = b.slam_times.shape[1]
+        state = {}
+        for row, i in enumerate(idxs):
+            n = int(b.n_slam[row])
+
+            def slice_leaf(x, row=row, n=n):
+                x_row = x[row]
+                if x_row.ndim >= 1 and x_row.shape[0] == n_max:
+                    return x_row[:n]
+                return x_row
+
+            res = jax.tree.map(slice_leaf, host)
+            results[int(i)] = res
+            state[f"seq_{int(i)}"] = _outputs_to_tree(res)
+        ckpt_util.save_checkpoint(
+            _bucket_path(j),
+            state,
+            metadata={"bucket": j, "indices": np.asarray(idxs).tolist()},
+        )
+
+    streaming.stream_chunks(pending, _stage, _launch, _drain)
+    return results
+
+
 @lru_cache(maxsize=8)
 def _eval_fn(skip_seconds: float):
     return jax.jit(jax.vmap(partial(fusion.evaluate, skip_seconds=skip_seconds)))

@@ -29,6 +29,26 @@ def save_checkpoint(path: str, state: Any, metadata: Optional[dict] = None) -> N
             json.dump(metadata, f, indent=2, default=str)
 
 
+def restore_checkpoint_untyped(path: str) -> Tuple[Any, Optional[dict]]:
+    """Restore a checkpoint WITHOUT a target pytree.
+
+    Returns the state as saved, with NamedTuples decayed to plain dicts
+    (orbax serialises structure as containers) — callers rebuild typed
+    containers themselves (see ``parallel.mesh.fuse_buckets_checkpointed``).
+    """
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckpt = ocp.StandardCheckpointer()
+    state = ckpt.restore(os.path.join(path, "state"))
+    meta_path = os.path.join(path, "metadata.json")
+    metadata = None
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            metadata = json.load(f)
+    return state, metadata
+
+
 def restore_checkpoint(path: str, target: Any) -> Tuple[Any, Optional[dict]]:
     """Restore a pytree saved by ``save_checkpoint``.
 
