@@ -137,7 +137,10 @@ def load_and_project_gps(
         zone, south = geodesy.utm_zone_from_lonlat(
             raw["lons"][valid], raw["lats"][valid]
         )
-    dtype = dtype or jnp.float64
+    # Default working dtype: f64 where enabled; otherwise f32 explicitly,
+    # rather than letting jnp.asarray warn-and-truncate per array. The f64
+    # PROJECTION below is unaffected — it runs under enable_x64.
+    dtype = dtype or (jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
     # The geodetic projection ALWAYS runs in float64 on CPU, whatever the
     # fusion dtype/backend: ECEF/UTM intermediates are ~6.4e6 m, so a
     # float32 projection loses ~0.5 m before fusion even starts (measured
@@ -257,7 +260,7 @@ def fuse_arrays(
     measurements locally plausible to the polynomial pre-filter but
     inconsistent with the filter state are rejected; the corrected
     trajectory and its evaluation then reflect the gated filter."""
-    dtype = dtype or jnp.float64
+    dtype = dtype or (jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
     slam_times = jnp.asarray(slam["timestamps"], dtype)
     slam_pos = jnp.asarray(slam["positions"], dtype)
     slam_quat = jnp.asarray(slam["quaternions"], dtype)
