@@ -49,6 +49,36 @@ def main():
     os.makedirs(_cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", _cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    # Make compile-cache keys process-invariant (test-infra patch, measured
+    # on this jax: without it process 1 gets ZERO cache hits and recompiles
+    # the 175 s seqpar program on every warm run, because (a) the serialized
+    # PjRt topology embeds process-point-of-view metadata and (b) eager ops
+    # bake the process-local device id into the device assignment). jax
+    # already strips the device assignment on GPU multi-process for exactly
+    # this reason (cache_key.py: "strip device assignment to use cache key
+    # as invariant between processes"); CPU workers are homogeneous, so the
+    # same invariance holds. Only process 0 writes the cache — identical
+    # keys let process 1 read those entries on warm runs.
+    import functools
+
+    from jax._src import cache_key as _ck
+
+    _orig_opts = _ck._hash_serialized_compile_options
+    if not getattr(_ck, "_gps_slam_stripped", False):
+        # NOT functools.partial: the call site passes the kwarg explicitly
+        # (False on cpu), which would override a partial's default.
+        @functools.wraps(_orig_opts)
+        def _strip_opts(hash_obj, compile_options_obj, strip_device_assignment=False):
+            return _orig_opts(
+                hash_obj, compile_options_obj, strip_device_assignment=True
+            )
+
+        _ck._hash_serialized_compile_options = _strip_opts
+        _ck._hash_accelerator_config = (
+            lambda hash_obj, accelerators: _ck._hash_devices(hash_obj, accelerators)
+        )
+        _ck._gps_slam_stripped = True
     assert jax.process_count() == nproc, jax.process_count()
     assert jax.device_count() == 2 * nproc, jax.device_count()
 

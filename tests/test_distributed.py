@@ -25,32 +25,42 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_global_mesh_parity():
+def test_two_process_global_mesh_parity(tmp_path):
     coord = f"127.0.0.1:{_free_port()}"
     env = dict(os.environ)
     # Workers configure their own platform/devices; scrub inherited forcing.
     env.pop("XLA_FLAGS", None)
     env.pop("JAX_PLATFORMS", None)
+    # XLA's cpu_aot_loader logs a ~4 kB machine-feature warning per cached
+    # executable it loads (benign tuning pseudo-features like
+    # +prefer-no-scatter; parity below proves correctness). Keep the volume
+    # down — and, critically, write worker output to FILES, not PIPEs:
+    # draining the pipes sequentially deadlocked worker 1 once its 64 kB
+    # pipe filled with those warnings while worker 0 was being drained.
+    env.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 
+    logs = [tmp_path / f"worker{pid}.log" for pid in range(2)]
+    handles = [open(log, "w") for log in logs]
     procs = [
         subprocess.Popen(
             [sys.executable, _WORKER, coord, "2", str(pid)],
-            stdout=subprocess.PIPE,
+            stdout=handle,
             stderr=subprocess.STDOUT,
             text=True,
             env=env,
         )
-        for pid in range(2)
+        for pid, handle in enumerate(handles)
     ]
-    outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=540)
-            outs.append(out)
+            p.wait(timeout=540)
     finally:
         for p in procs:
             if p.poll() is None:
                 p.kill()
+        for handle in handles:
+            handle.close()
+    outs = [log.read_text() for log in logs]
 
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out[-4000:]}"
