@@ -155,6 +155,11 @@ class StagedBatch(NamedTuple):
 
     args: tuple  # the 9 fused-program inputs, device-resident
     n_real: int
+    # Every row's VALID GPS timestamps were verified nondecreasing on host
+    # at staging time — fuse_batch may then run the fused program with
+    # config.gps_sorted=True (skips the alignment compaction argsort;
+    # identical outputs, see ops.alignment._compact_sort).
+    gps_sorted: bool = False
 
 
 def _is_staged_on(x, sharding) -> bool:
@@ -215,7 +220,18 @@ def stage_batch(
         # dispatches on the DEFAULT backend, so a CPU mesh works even when
         # the default accelerator platform is broken or absent.
         args.append(jax.device_put(h, shard) if shard is not None else jnp.asarray(h))
-    return StagedBatch(args=tuple(args), n_real=b)
+    # Host sortedness check, once per staging (same check pipeline.fuse_arrays
+    # applies): nondecreasing valid GPS times let fuse_batch skip the
+    # alignment compaction argsort. Only checkable with host inputs — a
+    # device-resident gps_times row would cost a transfer to inspect.
+    gps_sorted = False
+    if not isinstance(batch.gps_times, jax.Array):
+        gt = np.asarray(batch.gps_times)
+        gv = np.asarray(batch.gps_valid, bool)
+        gps_sorted = all(
+            np.all(np.diff(row[vrow]) >= 0) for row, vrow in zip(gt, gv)
+        )
+    return StagedBatch(args=tuple(args), n_real=b, gps_sorted=gps_sorted)
 
 
 def fuse_batch(
@@ -257,6 +273,8 @@ def fuse_batch(
         staged = stage_batch(
             batch, keys, mesh=mesh, dtype=dtype, time_offsets=time_offsets
         )
+    if staged.gps_sorted and not config.gps_sorted:
+        config = config.replace(gps_sorted=True)
     out = _fused_fn(config, mesh, len(staged.args))(*staged.args)
     if staged.args[0].shape[0] != staged.n_real:
         out = jax.tree.map(lambda x: x[: staged.n_real], out)

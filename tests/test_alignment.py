@@ -143,6 +143,39 @@ def test_alignment_gps_valid_mask():
     np.testing.assert_allclose(np.asarray(out.aligned)[ref_v], ref_a[ref_v], atol=1e-9)
 
 
+def test_alignment_assume_sorted_identical():
+    """assume_sorted=True must be bit-identical to the default path whenever
+    the VALID timestamps are nondecreasing — including duplicate valid times,
+    gap-separated segments, and OUT-OF-ORDER times on invalid rows (the
+    promise only covers valid rows). This is the contract pipeline.fuse_arrays
+    and parallel.mesh.stage_batch rely on when they auto-set gps_sorted."""
+    rng = np.random.default_rng(3)
+    gps_t = np.concatenate(
+        [np.linspace(0.0, 4.0, 9), [4.0], np.linspace(20.0, 24.0, 9)]
+    )
+    gps_p = rng.normal(size=(len(gps_t), 3)) * 5
+    valid = np.ones(len(gps_t), bool)
+    # Invalid rows carry garbage times that would break a global sort
+    # assumption — assume_sorted must ignore them.
+    valid[[2, 12]] = False
+    gps_t[2] = 100.0
+    gps_t[12] = -50.0
+    slam_t = np.linspace(-1.0, 25.0, 120)
+    base = alignment.align_gps_to_slam(
+        jnp.asarray(slam_t), jnp.asarray(gps_t), jnp.asarray(gps_p),
+        gps_valid=jnp.asarray(valid),
+    )
+    fast = alignment.align_gps_to_slam(
+        jnp.asarray(slam_t), jnp.asarray(gps_t), jnp.asarray(gps_p),
+        gps_valid=jnp.asarray(valid), assume_sorted=True,
+    )
+    np.testing.assert_array_equal(np.asarray(base.valid), np.asarray(fast.valid))
+    v = np.asarray(base.valid)
+    np.testing.assert_array_equal(
+        np.asarray(base.aligned)[v], np.asarray(fast.aligned)[v]
+    )
+
+
 def test_alignment_all_invalid():
     gps_t = np.linspace(0, 5, 6)
     gps_p = np.zeros((6, 3))

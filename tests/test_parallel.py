@@ -183,6 +183,36 @@ def test_dryrun_multichip_entrypoint():
         sys.path.pop(0)
 
 
+def test_stage_batch_detects_sorted_gps():
+    """stage_batch verifies valid-GPS sortedness on host once; fuse_batch
+    then runs the argsort-free alignment program — outputs must be identical
+    to the explicit gps_sorted=False config. An unsorted batch must NOT set
+    the flag."""
+    slams, gts, gps_list, valids = make_sequences(n_seqs=2, base_n=60)
+    keys = np.stack([np.asarray(jax.random.PRNGKey(i)) for i in range(2)])
+    b = pbatch.pad_batch(slams, gts, gps_list, valids)
+
+    staged = pmesh.stage_batch(b, keys, dtype=jnp.float64)
+    assert staged.gps_sorted  # synthetic streams are time-ordered
+
+    out_auto = pmesh.fuse_batch(staged)  # runs with gps_sorted=True
+    # Same device-resident inputs through the argsort-ing program (flag
+    # stripped → fuse_batch keeps the default gps_sorted=False config).
+    out_base = pmesh.fuse_batch(staged._replace(gps_sorted=False))
+    np.testing.assert_allclose(
+        np.asarray(out_auto.corrected_pos),
+        np.asarray(out_base.corrected_pos),
+        atol=1e-12,
+    )
+
+    # Scramble one sequence's valid GPS times → flag must stay off.
+    gts2 = [g.copy() for g in gts]
+    gts2[0][5], gts2[0][20] = gts2[0][20], gts2[0][5]
+    b2 = pbatch.pad_batch(slams, gts2, gps_list, valids)
+    staged2 = pmesh.stage_batch(b2, keys, dtype=jnp.float64)
+    assert not staged2.gps_sorted
+
+
 def test_fuse_batch_time_offsets():
     # VERDICT r1 #6: per-sequence clock offsets must flow through the
     # batched path. Shift one sequence's GPS clock and pass the correcting
