@@ -263,6 +263,53 @@ def pallas_nn_section(jax, jnp, n=23201, m=23900):
     }
 
 
+def pallas_scan_section(jax, jnp, n=4661):
+    """Compile (NOT interpret) the single-kernel VMEM associative scan on
+    this platform and assert parity against lax.associative_scan on the
+    filtering five-tuple — the heaviest combine ops.kalman_parallel swaps
+    in, at the longest real KITTI sequence length (the largest size the
+    product path actually runs — 27 f32 leaves at 23k poses would exceed
+    the kernel's VMEM budget and fall back to lax). Proves the Mosaic
+    lowering of ops/pallas_scan.py on real TPU."""
+    from gps_optimize_slam_tpu.ops import kalman_parallel as kp
+    from gps_optimize_slam_tpu.ops.pallas_scan import associative_scan_vmem
+
+    rng = np.random.default_rng(0)
+    d = rng.normal(size=(n, 3)) * 0.1
+    z = d + rng.normal(size=(n, 3)) * 0.5
+    Qd = rng.uniform(0.01, 0.2, size=(n, 3))
+    S = Qd + 1.0
+    K = Qd / S
+    IK = 1.0 - K
+    zeros = np.zeros(n)
+    f32 = lambda a: jnp.asarray(a, jnp.float32)  # noqa: E731
+    d9 = {0: IK[:, 0], 4: IK[:, 1], 8: IK[:, 2]}
+    s6 = {0: IK[:, 0] * Qd[:, 0], 3: IK[:, 1] * Qd[:, 1], 5: IK[:, 2] * Qd[:, 2]}
+    j6 = {0: 1 / S[:, 0], 3: 1 / S[:, 1], 5: 1 / S[:, 2]}
+    elems = dict(
+        A=tuple(f32(d9.get(k, zeros)) for k in range(9)),
+        b=tuple(f32(IK[:, i] * d[:, i] + K[:, i] * z[:, i]) for i in range(3)),
+        C=tuple(f32(s6.get(k, zeros)) for k in range(6)),
+        eta=tuple(f32((z - d)[:, i] / S[:, i]) for i in range(3)),
+        J=tuple(f32(j6.get(k, zeros)) for k in range(6)),
+    )
+
+    got = jax.jit(
+        lambda e: associative_scan_vmem(kp._combine_filter, e, kp._FILTER_IDENTITY)
+    )(elems)
+    jax.block_until_ready(got)
+    want = jax.jit(lambda e: jax.lax.associative_scan(kp._combine_filter, e))(elems)
+    max_dev = max(
+        float(jnp.max(jnp.abs(a - b)))
+        for a, b in zip(jax.tree.leaves(got), jax.tree.leaves(want))
+    )
+    return {
+        "pallas_scan_ok": bool(max_dev <= 1e-3),
+        "pallas_scan_max_dev": max_dev,
+        "pallas_scan_points": n,
+    }
+
+
 def _enable_compile_cache():
     """Persistent compilation cache — repeat bench runs skip the slow
     (remote) compiles. Keyed by host CPU features: XLA:CPU compiles with
@@ -459,6 +506,14 @@ def main():
     except Exception as e:
         scale_extras["pallas_nn_ok"] = False
         scale_extras["pallas_nn_error"] = f"{type(e).__name__}: {e}"
+    try:
+        if platform != "cpu":
+            scale_extras.update(pallas_scan_section(jax, jnp))
+        else:
+            scale_extras["pallas_scan_ok"] = "skipped: cpu platform (Mosaic needs TPU)"
+    except Exception as e:
+        scale_extras["pallas_scan_ok"] = False
+        scale_extras["pallas_scan_error"] = f"{type(e).__name__}: {e}"
     scale_extras["north_star_ms"] = 50.0
 
     result = {

@@ -115,6 +115,44 @@ def _meye_plus(m):
     return tuple(out)
 
 
+def _maybe_pallas_scan(scan_fn, identity):
+    """Swap the DEFAULT scan for the single-kernel Pallas ladder off-CPU.
+
+    ``lax.associative_scan`` lowers to ~2·log₂N separate fusion rounds; at
+    these trajectory sizes the scans are round-bound, not FLOP-bound (the
+    three Kalman scans measure ~3.7 ms of the all-KITTI fused program while
+    moving ~5 MB). ``ops.pallas_scan`` runs the whole ladder as ONE kernel
+    with the leaves VMEM-resident; it needs the combine's identity element,
+    so the swap happens here where each scan's identity is known. A
+    caller-provided scan_fn (e.g. parallel.seqpar's cross-device block
+    scan) is always respected, and the Pallas wrapper itself falls back to
+    lax for f64 or beyond the VMEM budget (the 131k-pose chunked path).
+    """
+    if scan_fn is not jax.lax.associative_scan:
+        return scan_fn
+    from gps_optimize_slam_tpu.utils.backend import effective_platform
+
+    if effective_platform() == "cpu":
+        return scan_fn
+    from gps_optimize_slam_tpu.ops.pallas_scan import make_scan_fn
+
+    return make_scan_fn(identity)
+
+
+_FILTER_IDENTITY = dict(
+    A=(1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 1.0),
+    b=(0.0, 0.0, 0.0),
+    C=(0.0,) * 6,
+    eta=(0.0, 0.0, 0.0),
+    J=(0.0,) * 6,
+)
+_RTS_IDENTITY = dict(
+    M=(1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 1.0),
+    c=(0.0, 0.0, 0.0),
+)
+_QUAT_IDENTITY = (0.0, 0.0, 0.0, 1.0)
+
+
 def _sym_expand(s):
     """(xx,xy,xz,yy,yz,zz) → row-major 9-tuple, aliasing the same arrays.
 
@@ -175,7 +213,7 @@ def parallel_quat_chain(
 
     qs = jnp.concatenate([quat.normalize(init_quat)[None], dq], axis=0)
     comps = tuple(qs[:, i] for i in range(4))
-    out = scan_fn(combine, comps)
+    out = _maybe_pallas_scan(scan_fn, _QUAT_IDENTITY)(combine, comps)
     return jnp.stack(out, axis=-1)
 
 
@@ -247,7 +285,7 @@ def parallel_position_filter(
         J=tuple(cat(0.0, j) for j in J),
     )
 
-    out = scan_fn(_combine_filter, elems)
+    out = _maybe_pallas_scan(scan_fn, _FILTER_IDENTITY)(_combine_filter, elems)
     m_f = _v_to_batched(out["b"])
     return m_f, out["C"]
 
@@ -353,7 +391,7 @@ def fuse_ekf_rts_parallel(
         M1, c1 = later["M"], later["c"]
         return dict(M=_mmul(M1, M2), c=_vadd(_mvec(M1, c2), c1))
 
-    out = scan_fn(combine, Mc, reverse=True)
+    out = _maybe_pallas_scan(scan_fn, _RTS_IDENTITY)(combine, Mc, reverse=True)
     m_s = _v_to_batched(out["c"])
 
     use = member[:, None]

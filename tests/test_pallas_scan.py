@@ -1,0 +1,197 @@
+"""Single-kernel VMEM associative scan (ops.pallas_scan) — parity against
+``lax.associative_scan`` in interpreter mode on the CPU test platform. The
+same kernel compiles natively on TPU (proven by bench.py's `pallas_scan_ok`
+extra). Covers the three product combines that ops.kalman_parallel swaps in
+(quaternion chain, Särkkä filtering five-tuple, RTS suffix affine), plus
+generic non-commutative ordering and edge sizes.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gps_optimize_slam_tpu.ops import kalman_parallel as kp
+from gps_optimize_slam_tpu.ops.pallas_scan import (
+    associative_scan_vmem,
+    fits_vmem,
+    make_scan_fn,
+)
+
+
+def _assert_tree_close(a, b, rtol=1e-10, atol=1e-12):
+    la, lb = jax.tree.leaves(a), jax.tree.leaves(b)
+    assert len(la) == len(lb)
+    for x, y in zip(la, lb):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=rtol, atol=atol)
+
+
+@pytest.mark.parametrize("n", [1, 5, 128, 129, 517, 2048])
+@pytest.mark.parametrize("reverse", [False, True])
+def test_add_scan_matches_lax(n, reverse):
+    rng = np.random.default_rng(n + int(reverse))
+    x = jnp.asarray(rng.normal(size=n))
+    got = associative_scan_vmem(
+        lambda a, b: a + b, x, 0.0, reverse=reverse, interpret=True
+    )
+    want = jax.lax.associative_scan(lambda a, b: a + b, x, reverse=reverse)
+    _assert_tree_close(got, want)
+
+
+@pytest.mark.parametrize("reverse", [False, True])
+def test_noncommutative_matmul_scan(reverse):
+    """2x2 matrix product as four (N,) leaves — non-commutative, so any
+    argument-order or ladder-direction bug in the kernel shows up as a
+    gross mismatch, not a rounding difference."""
+    rng = np.random.default_rng(7)
+    n = 300
+    # Near-identity factors keep the running product well-conditioned.
+    m = np.eye(2)[None] + 0.05 * rng.normal(size=(n, 2, 2))
+    elems = {
+        "a": jnp.asarray(m[:, 0, 0]),
+        "b": jnp.asarray(m[:, 0, 1]),
+        "c": jnp.asarray(m[:, 1, 0]),
+        "d": jnp.asarray(m[:, 1, 1]),
+    }
+    ident = {"a": 1.0, "b": 0.0, "c": 0.0, "d": 1.0}
+
+    def combine(e, l):
+        # Composite = later @ earlier under forward prefix semantics
+        # (order-sensitive on purpose; lax passes the accumulated composite
+        # first either direction).
+        return {
+            "a": l["a"] * e["a"] + l["b"] * e["c"],
+            "b": l["a"] * e["b"] + l["b"] * e["d"],
+            "c": l["c"] * e["a"] + l["d"] * e["c"],
+            "d": l["c"] * e["b"] + l["d"] * e["d"],
+        }
+
+    got = associative_scan_vmem(combine, elems, ident, reverse=reverse, interpret=True)
+    want = jax.lax.associative_scan(combine, elems, reverse=reverse)
+    _assert_tree_close(got, want, rtol=1e-9, atol=1e-11)
+
+
+def test_quat_chain_combine_matches_lax():
+    rng = np.random.default_rng(3)
+    n = 271
+    q = rng.normal(size=(n, 4))
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    comps = tuple(jnp.asarray(q[:, i]) for i in range(4))
+
+    def combine(a, b):
+        x1, y1, z1, w1 = a
+        x2, y2, z2, w2 = b
+        x = w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2
+        y = w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2
+        z = w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2
+        w = w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2
+        nrm = jnp.sqrt(x * x + y * y + z * z + w * w)
+        inv = jnp.where(nrm > 1e-9, 1.0 / jnp.where(nrm > 1e-9, nrm, 1.0), 1.0)
+        return (x * inv, y * inv, z * inv, w * inv)
+
+    got = associative_scan_vmem(
+        combine, comps, kp._QUAT_IDENTITY, interpret=True
+    )
+    want = jax.lax.associative_scan(combine, comps)
+    _assert_tree_close(got, want, rtol=1e-9, atol=1e-11)
+
+
+def _filter_elems(rng, n):
+    """Filtering five-tuples built exactly as parallel_position_filter does
+    (diagonal per-step elements) plus a dense PSD prior at index 0."""
+    zeros = jnp.zeros((n - 1,))
+    Qd = rng.uniform(0.01, 0.2, size=(n - 1, 3))
+    Rd = rng.uniform(0.5, 2.0, size=3)
+    d = rng.normal(size=(n - 1, 3))
+    z = rng.normal(size=(n - 1, 3)) * 5
+    avail = rng.random(n - 1) > 0.3
+    S = Qd + Rd[None, :]
+    K = Qd / S
+    IK = 1.0 - K
+    ikd = np.where(avail[:, None], IK, 1.0)
+    b_arr = np.where(avail[:, None], IK * d + K * z, d)
+    Cd = np.where(avail[:, None], IK * Qd, Qd)
+    eta_arr = np.where(avail[:, None], (z - d) / S, 0.0)
+    Jd = np.where(avail[:, None], 1.0 / S, 0.0)
+
+    A0 = rng.normal(size=(3, 3)) * 0.1
+    P0 = A0 @ A0.T + np.eye(3)  # dense PSD prior cov
+
+    def lead(v0, rest):
+        return jnp.concatenate([jnp.asarray([v0]), jnp.asarray(rest)])
+
+    diag9_slots = {0: 0, 4: 1, 8: 2}
+    sym6_slots = {0: 0, 3: 1, 5: 2}
+    P0_sym = (P0[0, 0], P0[0, 1], P0[0, 2], P0[1, 1], P0[1, 2], P0[2, 2])
+    return dict(
+        A=tuple(
+            lead(0.0, ikd[:, diag9_slots[k]] if k in diag9_slots else zeros)
+            for k in range(9)
+        ),
+        b=tuple(lead(0.5 * i, b_arr[:, i]) for i in range(3)),
+        C=tuple(
+            lead(P0_sym[k], Cd[:, sym6_slots[k]] if k in sym6_slots else zeros)
+            for k in range(6)
+        ),
+        eta=tuple(lead(0.0, eta_arr[:, i]) for i in range(3)),
+        J=tuple(
+            lead(0.0, Jd[:, sym6_slots[k]] if k in sym6_slots else zeros)
+            for k in range(6)
+        ),
+    )
+
+
+def test_filter_five_tuple_combine_matches_lax():
+    rng = np.random.default_rng(11)
+    elems = _filter_elems(rng, 400)
+    got = associative_scan_vmem(
+        kp._combine_filter, elems, kp._FILTER_IDENTITY, interpret=True
+    )
+    want = jax.lax.associative_scan(kp._combine_filter, elems)
+    _assert_tree_close(got, want, rtol=1e-8, atol=1e-10)
+
+
+def test_rts_suffix_combine_matches_lax():
+    rng = np.random.default_rng(13)
+    n = 350
+    # Contractive gains keep the suffix product bounded, like real RTS.
+    E = 0.4 * rng.normal(size=(n, 3, 3))
+    E[-1] = 0.0
+    c = rng.normal(size=(n, 3))
+    Mc = dict(
+        M=tuple(jnp.asarray(E[:, i, j]) for i in range(3) for j in range(3)),
+        c=tuple(jnp.asarray(c[:, i]) for i in range(3)),
+    )
+
+    def combine(earlier, later):
+        M2, c2 = earlier["M"], earlier["c"]
+        M1, c1 = later["M"], later["c"]
+        return dict(M=kp._mmul(M1, M2), c=kp._vadd(kp._mvec(M1, c2), c1))
+
+    got = associative_scan_vmem(
+        combine, Mc, kp._RTS_IDENTITY, reverse=True, interpret=True
+    )
+    want = jax.lax.associative_scan(combine, Mc, reverse=True)
+    _assert_tree_close(got, want, rtol=1e-9, atol=1e-11)
+
+
+def test_budget_gate_and_fallback():
+    big = jnp.zeros((4 * 1024 * 1024,), jnp.float32)
+    assert not fits_vmem((big,))
+    with pytest.raises(ValueError, match="budget"):
+        associative_scan_vmem(lambda a, b: a + b, (big,), (0.0,), interpret=True)
+    # make_scan_fn silently falls back to lax beyond the budget / off-f32.
+    scan = make_scan_fn((0.0,))
+    out = scan(lambda a, b: (a[0] + b[0],), (jnp.ones(10, jnp.float64),))
+    np.testing.assert_allclose(np.asarray(out[0]), np.arange(1, 11))
+
+
+def test_maybe_pallas_scan_is_noop_on_cpu():
+    """On the CPU test platform the product path must keep lax (Mosaic does
+    not lower on CPU); custom scan_fns are always respected."""
+    assert kp._maybe_pallas_scan(jax.lax.associative_scan, (0.0,)) is jax.lax.associative_scan
+
+    def custom(fn, elems, reverse=False):
+        return elems
+
+    assert kp._maybe_pallas_scan(custom, (0.0,)) is custom

@@ -51,27 +51,36 @@ def main():
     K = 20
 
     def timeit(name, fn, *args):
-        @jax.jit
-        def chained(*a):
-            def body(i, acc):
-                out = fn(*a, i)
-                leaves = [
-                    x
-                    for x in jax.tree.leaves(out)
-                    if jnp.issubdtype(x.dtype, jnp.floating)
-                ]
-                return acc + sum(jnp.sum(x).astype(jnp.float32) for x in leaves)
+        # Differential chained timing: (T(2K) - T(K)) / K cancels the
+        # dispatch fixed cost (same estimator as bench._chained_device_ms).
+        def make(n_iters):
+            @jax.jit
+            def chained(*a):
+                def body(i, acc):
+                    out = fn(*a, i)
+                    leaves = [
+                        x
+                        for x in jax.tree.leaves(out)
+                        if jnp.issubdtype(x.dtype, jnp.floating)
+                    ]
+                    return acc + sum(jnp.sum(x).astype(jnp.float32) for x in leaves)
 
-            return jax.lax.fori_loop(0, K, body, jnp.zeros((), jnp.float32))
+                return jax.lax.fori_loop(0, n_iters, body, jnp.zeros((), jnp.float32))
 
-        r = chained(*args)
-        np.asarray(r)
-        ts = []
+            return chained
+
+        f1, f2 = make(K), make(2 * K)
+        np.asarray(f1(*args))
+        np.asarray(f2(*args))
+        t1s, t2s = [], []
         for _ in range(5):
             t0 = time.perf_counter()
-            np.asarray(chained(*args))
-            ts.append((time.perf_counter() - t0) * 1e3)
-        ms = float(np.median(ts)) / K
+            np.asarray(f1(*args))
+            t1s.append((time.perf_counter() - t0) * 1e3)
+            t0 = time.perf_counter()
+            np.asarray(f2(*args))
+            t2s.append((time.perf_counter() - t0) * 1e3)
+        ms = (float(np.median(t2s)) - float(np.median(t1s))) / K
         print(json.dumps({"part": name, "ms": round(ms, 3)}))
         return ms
 

@@ -53,25 +53,34 @@ def main():
     K = 20
 
     def timeit(name, fn, *args):
-        """K-chained median wall time of jitted fn over the batch."""
+        """Differential K-chained device time of jitted fn over the batch:
+        (T(2K) − T(K)) / K cancels the dispatch fixed cost (~30 ms tunnel
+        RTT) exactly — same estimator as bench._chained_device_ms."""
 
-        @jax.jit
-        def chained(*a):
-            def body(i, acc):
-                out = fn(*a, i)
-                leaves = [x for x in jax.tree.leaves(out) if jnp.issubdtype(x.dtype, jnp.floating)]
-                return acc + sum(jnp.sum(x).astype(jnp.float32) for x in leaves)
+        def make(n_iters):
+            @jax.jit
+            def chained(*a):
+                def body(i, acc):
+                    out = fn(*a, i)
+                    leaves = [x for x in jax.tree.leaves(out) if jnp.issubdtype(x.dtype, jnp.floating)]
+                    return acc + sum(jnp.sum(x).astype(jnp.float32) for x in leaves)
 
-            return jax.lax.fori_loop(0, K, body, jnp.zeros((), jnp.float32))
+                return jax.lax.fori_loop(0, n_iters, body, jnp.zeros((), jnp.float32))
 
-        r = chained(*args)
-        np.asarray(r)  # force full materialisation
-        ts = []
+            return chained
+
+        f1, f2 = make(K), make(2 * K)
+        np.asarray(f1(*args))  # compile + warm
+        np.asarray(f2(*args))
+        t1s, t2s = [], []
         for _ in range(5):
             t0 = time.perf_counter()
-            np.asarray(chained(*args))
-            ts.append((time.perf_counter() - t0) * 1e3)
-        ms = float(np.median(ts)) / K
+            np.asarray(f1(*args))
+            t1s.append((time.perf_counter() - t0) * 1e3)
+            t0 = time.perf_counter()
+            np.asarray(f2(*args))
+            t2s.append((time.perf_counter() - t0) * 1e3)
+        ms = (float(np.median(t2s)) - float(np.median(t1s))) / K
         print(json.dumps({"stage": name, "ms": round(ms, 3)}))
         return ms
 
