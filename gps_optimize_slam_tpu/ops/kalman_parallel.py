@@ -125,13 +125,18 @@ def _maybe_pallas_scan(scan_fn, identity):
     with the leaves VMEM-resident; it needs the combine's identity element,
     so the swap happens here where each scan's identity is known. A
     caller-provided scan_fn (e.g. parallel.seqpar's cross-device block
-    scan) is always respected, and the Pallas wrapper itself falls back to
+    scan) is respected — if it advertises ``bind_identity`` (seqpar does),
+    it is handed the identity so its per-device LOCAL scans can run the
+    same single-kernel ladder. The Pallas wrapper itself falls back to
     lax for f64 or beyond the VMEM budget (the 131k-pose chunked path).
     """
-    if scan_fn is not jax.lax.associative_scan:
-        return scan_fn
     from gps_optimize_slam_tpu.utils.backend import effective_platform
 
+    if scan_fn is not jax.lax.associative_scan:
+        bind = getattr(scan_fn, "bind_identity", None)
+        if bind is None or effective_platform() == "cpu":
+            return scan_fn
+        return bind(identity)
     if effective_platform() == "cpu":
         return scan_fn
     from gps_optimize_slam_tpu.ops.pallas_scan import make_scan_fn

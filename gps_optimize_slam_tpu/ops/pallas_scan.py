@@ -183,11 +183,19 @@ def associative_scan_vmem(
         R=R,
         reverse=reverse,
     )
+    # Inside shard_map the outputs vary over the same mesh axes as the
+    # inputs — propagate the input aval's vma so shard_map's check_vma
+    # accepts the kernel (no-op outside shard_map / on older jax).
+    try:
+        vma = jax.typeof(padded[0]).vma
+        out_shape = [jax.ShapeDtypeStruct((R, _LANES), dtype, vma=vma)] * len(leaves)
+    except (AttributeError, TypeError):
+        out_shape = [jax.ShapeDtypeStruct((R, _LANES), dtype)] * len(leaves)
     outs = pl.pallas_call(
         kernel,
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(leaves),
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(leaves),
-        out_shape=[jax.ShapeDtypeStruct((R, _LANES), dtype)] * len(leaves),
+        out_shape=out_shape,
         interpret=interpret,
     )(*padded)
     flat = [o.reshape(n_pad)[:n] for o in outs]

@@ -45,15 +45,19 @@ from gps_optimize_slam_tpu.config import EKFConfig, RTSDecisionConfig
 from gps_optimize_slam_tpu.ops import kalman_parallel
 
 
-def _block_scan(combine, elems, axis_name: str, reverse: bool):
+def _block_scan(combine, elems, axis_name: str, reverse: bool, local_scan):
     """Cross-device associative scan body (runs INSIDE shard_map).
 
     ``elems``: pytree of (L,) local component arrays (L = N/D). Performs the
     local scan, exchanges block totals, and folds this block's exclusive
     prefix (suffix when ``reverse``) into the local results. Blocks at the
     global boundary keep their local results unchanged (no identity element
-    needs constructing)."""
-    local = jax.lax.associative_scan(combine, elems, reverse=reverse)
+    needs constructing). ``local_scan`` is the per-device scan — lax by
+    default; the single-kernel VMEM ladder (ops.pallas_scan) when the
+    caller bound an identity via :func:`sequence_parallel_scan`'s
+    ``bind_identity`` (the cross-device block-total scan below stays lax:
+    D elements, trivially cheap)."""
+    local = local_scan(combine, elems, reverse=reverse)
     # Block total: last local composite (first, for a reverse/suffix scan).
     total = jax.tree.map(lambda x: x[0] if reverse else x[-1], local)
     gathered = jax.tree.map(
@@ -82,25 +86,61 @@ def _block_scan(combine, elems, axis_name: str, reverse: bool):
     )
 
 
-def sequence_parallel_scan(mesh: Mesh, axis_name: Optional[str] = None):
+def sequence_parallel_scan(
+    mesh: Mesh, axis_name: Optional[str] = None, local_scan=None
+):
     """A drop-in ``lax.associative_scan`` replacement that shards the scan
     axis over ``mesh`` (1-D). Pass as ``scan_fn=`` to
     ``kalman_parallel.fuse_ekf_rts_parallel`` / ``parallel_quat_chain`` /
     ``parallel_position_filter``. Leaf length must divide evenly by the
-    mesh size (``fuse_ekf_rts_seqparallel`` pads for you)."""
+    mesh size (``fuse_ekf_rts_seqparallel`` pads for you).
+
+    The returned scan_fn carries a ``bind_identity(identity)`` method:
+    given the combine's two-sided identity element it returns a variant
+    whose PER-DEVICE local scan runs as one VMEM-resident Pallas kernel
+    (``ops.pallas_scan``) when the local block fits the budget.
+    ``kalman_parallel._maybe_pallas_scan`` calls it off-CPU, so the
+    sequence-parallel path gets the same single-kernel ladder as the
+    single-device path with no caller changes."""
     if axis_name is None:
         (axis_name,) = mesh.axis_names
+    if local_scan is None:
+        local_scan = jax.lax.associative_scan
 
     def scan_fn(combine, elems, reverse: bool = False):
         spec = P(axis_name)
-        inner = shard_map(
-            partial(_block_scan, combine, axis_name=axis_name, reverse=reverse),
-            mesh=mesh,
-            in_specs=(spec,),
-            out_specs=spec,
+        body = partial(
+            _block_scan,
+            combine,
+            axis_name=axis_name,
+            reverse=reverse,
+            local_scan=local_scan,
         )
+        kwargs = {}
+        if local_scan is not jax.lax.associative_scan:
+            # The Pallas local scan builds identity-padding constants inside
+            # the kernel; under shard_map's vma check those unvaried
+            # constants can't be concatenated with axis-varying operands
+            # (visible in interpret mode, where the kernel is discharged to
+            # HLO). Disable the check for the bound path — the jax error
+            # message itself names this as the supported workaround.
+            kwargs["check_vma"] = False
+        try:
+            inner = shard_map(
+                body, mesh=mesh, in_specs=(spec,), out_specs=spec, **kwargs
+            )
+        except TypeError:  # older jax: no check_vma (and no vma checking)
+            inner = shard_map(body, mesh=mesh, in_specs=(spec,), out_specs=spec)
         return inner(elems)
 
+    def bind_identity(identity, interpret: bool = False):
+        from gps_optimize_slam_tpu.ops.pallas_scan import make_scan_fn
+
+        return sequence_parallel_scan(
+            mesh, axis_name, local_scan=make_scan_fn(identity, interpret)
+        )
+
+    scan_fn.bind_identity = bind_identity
     return scan_fn
 
 

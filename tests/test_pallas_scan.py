@@ -188,10 +188,63 @@ def test_budget_gate_and_fallback():
 
 def test_maybe_pallas_scan_is_noop_on_cpu():
     """On the CPU test platform the product path must keep lax (Mosaic does
-    not lower on CPU); custom scan_fns are always respected."""
+    not lower on CPU); custom scan_fns are always respected — including
+    identity-bindable ones (seqpar), which must NOT be rebound on CPU."""
     assert kp._maybe_pallas_scan(jax.lax.associative_scan, (0.0,)) is jax.lax.associative_scan
 
     def custom(fn, elems, reverse=False):
         return elems
 
     assert kp._maybe_pallas_scan(custom, (0.0,)) is custom
+
+    def bindable(fn, elems, reverse=False):
+        return elems
+
+    bindable.bind_identity = lambda ident: (_ for _ in ()).throw(
+        AssertionError("must not bind on CPU")
+    )
+    assert kp._maybe_pallas_scan(bindable, (0.0,)) is bindable
+
+
+@pytest.mark.parametrize("reverse", [False, True])
+def test_seqpar_local_pallas_scan_matches_lax(reverse):
+    """Composition: the sequence-parallel cross-device scan with the VMEM
+    Pallas kernel (interpret mode) as each device's LOCAL scan — the path
+    kalman_parallel._maybe_pallas_scan binds off-CPU via bind_identity —
+    must match plain lax.associative_scan on the 8-device virtual mesh.
+    Non-commutative 2x2 matmul combine so any block-stitching argument-order
+    bug is a gross mismatch (the heavier Kalman combines are covered by the
+    single-device parity tests above; interpret-mode compile cost keeps the
+    cross-device case to 4 leaves)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the virtual 8-device mesh")
+    from gps_optimize_slam_tpu.parallel.mesh import make_mesh
+    from gps_optimize_slam_tpu.parallel import seqpar
+
+    mesh = make_mesh(n_devices=8)
+    rng = np.random.default_rng(17)
+    # 8 devices x 256-element f32 local blocks (multi-row: R=2 per block).
+    n = 8 * 256
+    m = np.eye(2)[None] + 0.02 * rng.normal(size=(n, 2, 2))
+    elems = {
+        "a": jnp.asarray(m[:, 0, 0], jnp.float32),
+        "b": jnp.asarray(m[:, 0, 1], jnp.float32),
+        "c": jnp.asarray(m[:, 1, 0], jnp.float32),
+        "d": jnp.asarray(m[:, 1, 1], jnp.float32),
+    }
+    ident = {"a": 1.0, "b": 0.0, "c": 0.0, "d": 1.0}
+
+    def combine(e, l):
+        return {
+            "a": l["a"] * e["a"] + l["b"] * e["c"],
+            "b": l["a"] * e["b"] + l["b"] * e["d"],
+            "c": l["c"] * e["a"] + l["d"] * e["c"],
+            "d": l["c"] * e["b"] + l["d"] * e["d"],
+        }
+
+    scan = seqpar.sequence_parallel_scan(mesh).bind_identity(
+        ident, interpret=True
+    )
+    got = scan(combine, elems, reverse=reverse)
+    want = jax.lax.associative_scan(combine, elems, reverse=reverse)
+    _assert_tree_close(got, want, rtol=2e-4, atol=1e-5)
