@@ -1,4 +1,4 @@
-"""Single-kernel associative scan: the whole Blelchh/Hillis-Steele ladder in
+"""Single-kernel associative scan: the whole Hillis-Steele ladder in
 one Pallas launch, VMEM-resident.
 
 ``jax.lax.associative_scan`` lowers to ~2·log₂N rounds of slice/combine/
