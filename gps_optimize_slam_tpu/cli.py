@@ -171,14 +171,15 @@ def _cmd_fuse(args) -> int:
 def _cmd_fuse_chunked(args, config, frame) -> int:
     """Out-of-core fusion path of `fuse --chunked`: trajectories larger than
     device memory stream through O(chunk)-resident device programs
-    (pipeline.fuse_files_chunked). GT comparison / robust gating / plotting
-    are in-core features — reject their combination explicitly."""
+    (pipeline.fuse_files_chunked). GT comparison streams too
+    (fusion_chunked.evaluate_vs_track_chunked); robust gating / plotting
+    remain in-core features — reject their combination explicitly."""
     import numpy as np
 
     from gps_optimize_slam_tpu import pipeline
     from gps_optimize_slam_tpu.io import tum as tum_io
 
-    for flag, name in [(args.gt, "--gt"), (args.robust, "--robust"),
+    for flag, name in [(args.robust, "--robust"),
                        (args.plot, "--plot"), (args.show, "--show")]:
         if flag:
             print(f"{name} is not supported with --chunked (in-core feature)",
@@ -191,6 +192,7 @@ def _cmd_fuse_chunked(args, config, frame) -> int:
         frame=frame,
         seed=args.seed,
         chunk_size=args.chunk_size,
+        gt_path=args.gt,
     )
     if args.json:
         def stats(s):
@@ -220,6 +222,17 @@ def _cmd_fuse_chunked(args, config, frame) -> int:
                 "ekf": stats(ev.ate_ekf),
             },
         }
+        if res.gt_evaluation is not None:
+            gt_ev = res.gt_evaluation
+            out["nn_vs_ground_truth"] = {
+                "slam": stats(gt_ev.nn_slam),
+                "sim3": stats(gt_ev.nn_sim3),
+                "ekf": stats(gt_ev.nn_ekf),
+            }
+            out["ate_vs_ground_truth"] = {
+                "sim3": stats(gt_ev.ate_sim3),
+                "ekf": stats(gt_ev.ate_ekf),
+            }
         print(json.dumps(out, indent=2))
     else:
         print(res.summary())

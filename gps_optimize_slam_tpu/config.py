@@ -123,6 +123,15 @@ class FusionConfig:
     # all-KITTI scale on TPU). pipeline.fuse_arrays verifies on host and
     # sets this automatically; identical outputs either way.
     gps_sorted: bool = False
+    # COMPILE platform the fused program targets — gates kernel dispatch
+    # (Pallas vs jnp consensus counting, tiled NN, single-kernel scans,
+    # matmul vs dynamic gathers). "auto" is resolved at explicit boundaries
+    # where the target devices are known (utils.backend.resolve_platform):
+    # the fuse_core wrapper (default device), parallel.mesh._fused_fn (the
+    # MESH's devices — which may differ from the process default, the
+    # MULTICHIP_r03 regression), seqpar, and the chunked host drivers.
+    # Values: "auto" | "cpu" | "tpu" | "gpu".
+    platform: str = "auto"
 
     def replace(self, **kwargs) -> "FusionConfig":
         return dataclasses.replace(self, **kwargs)
@@ -159,7 +168,7 @@ def config_from_dict(d: dict) -> FusionConfig:
     # Framework-extension scalars accepted at the top level.
     scalars = {
         k: d[k]
-        for k in ("ekf_scan", "rts_mode", "offset_mode", "gps_sorted")
+        for k in ("ekf_scan", "rts_mode", "offset_mode", "gps_sorted", "platform")
         if k in d
     }
     unknown = set(d) - known_sections - set(scalars)

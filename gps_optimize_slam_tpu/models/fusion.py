@@ -48,8 +48,6 @@ class FusionOutputs(NamedTuple):
     ok: jnp.ndarray  # () bool — pipeline succeeded
 
 
-@partial(jax.jit, static_argnames=("config",))
-@highp
 def fuse_core(
     slam_times: jnp.ndarray,
     slam_pos: jnp.ndarray,
@@ -69,7 +67,51 @@ def fuse_core(
     for batching: padded timestamps can land inside the GPS span and would
     otherwise be treated as measured — they are forced GPS-invalid so they
     never enter the Sim3 window or the filter update (the padded tail
-    dead-reckons as a trailing outage, leaving real outputs untouched)."""
+    dead-reckons as a trailing outage, leaving real outputs untouched).
+
+    PLATFORM RESOLUTION BOUNDARY: ``config.platform == "auto"`` is resolved
+    here, against the process-default platform, BEFORE the jit boundary —
+    so every kernel-dispatch decision inside the traced program
+    (Pallas RANSAC counting, single-kernel scans, matmul gathers) is keyed
+    on a concrete platform. Callers that compile for NON-default devices
+    (a mesh — parallel.mesh._fused_fn, parallel.seqpar) must pass a config
+    whose platform is already resolved against those devices; calling this
+    wrapper inside another trace with platform="auto" falls back to the
+    process-default oracle (the pre-round-4 behaviour)."""
+    if config.platform == "auto":
+        from gps_optimize_slam_tpu.utils.backend import resolve_platform
+
+        config = config.replace(platform=resolve_platform())
+    return _fuse_core(
+        slam_times,
+        slam_pos,
+        slam_quat,
+        gps_times,
+        gps_positions,
+        gps_valid,
+        key,
+        config=config,
+        slam_mask=slam_mask,
+        time_offset=time_offset,
+    )
+
+
+@partial(jax.jit, static_argnames=("config",))
+@highp
+def _fuse_core(
+    slam_times: jnp.ndarray,
+    slam_pos: jnp.ndarray,
+    slam_quat: jnp.ndarray,
+    gps_times: jnp.ndarray,
+    gps_positions: jnp.ndarray,
+    gps_valid: jnp.ndarray,
+    key: jax.Array,
+    config: FusionConfig = FusionConfig(),
+    slam_mask: Optional[jnp.ndarray] = None,
+    time_offset=0.0,
+) -> FusionOutputs:
+    """Jitted fusion body — ``config.platform`` must be RESOLVED (not
+    "auto"); use :func:`fuse_core` unless you resolved it yourself."""
     aligned = alignment.align_gps_to_slam(
         slam_times,
         gps_times,
@@ -78,6 +120,7 @@ def fuse_core(
         time_offset=time_offset,
         cfg=config.time_alignment,
         assume_sorted=config.gps_sorted,
+        platform=config.platform,
     )
     if slam_mask is not None:
         aligned = alignment.AlignedGPS(
@@ -99,6 +142,7 @@ def fuse_core(
         jnp.nan_to_num(aligned.aligned, nan=0.0),
         valid=window,
         cfg=config.sim3_ransac,
+        platform=config.platform,
     )
 
     sim3_pos, sim3_quat = se3.transform_trajectory(
@@ -108,14 +152,14 @@ def fuse_core(
     # "auto": the O(log N) associative path on accelerators (where scan
     # latency dominates), the O(N) sequential path on CPU (where it is
     # faster to compile and fast enough to run — and bit-faithful to the
-    # reference). Decided at trace time; both require/force hard updates.
-    from gps_optimize_slam_tpu.utils.backend import effective_platform
-
+    # reference). Keyed on the RESOLVED config.platform; both paths
+    # require/force hard updates.
     use_parallel = config.ekf_scan == "parallel" or (
         config.ekf_scan == "auto"
         and config.rts_decision.default_ekf_transition_steps_on_sharp_turn == 0
-        and effective_platform() != "cpu"
+        and config.platform != "cpu"
     )
+    kw = {"platform": config.platform} if use_parallel else {}
     fuse_fn = kalman_parallel.fuse_ekf_rts_parallel if use_parallel else kalman.fuse_ekf_rts
     corrected_pos, corrected_quat = fuse_fn(
         slam_times,
@@ -128,6 +172,7 @@ def fuse_core(
         config.ekf,
         config.rts_decision,
         rts_mode=config.rts_mode,
+        **kw,
     )
 
     return FusionOutputs(
@@ -151,22 +196,42 @@ class Evaluation(NamedTuple):
     ate_ekf: metrics.ErrorStats
 
 
-@jax.jit
-@highp
 def evaluate(
     slam_times: jnp.ndarray,
     slam_pos: jnp.ndarray,
     outputs: FusionOutputs,
     skip_seconds: float = 5.0,
+    platform: str = "auto",
 ) -> Evaluation:
     """Reference-metric (NN, post-5 s — quirk Q6) and paired-ATE stats for
-    raw SLAM / Sim3-aligned / EKF-fused trajectories vs the aligned GPS."""
+    raw SLAM / Sim3-aligned / EKF-fused trajectories vs the aligned GPS.
+
+    ``platform`` gates the tiled Pallas NN kernel; "auto" resolves against
+    the process default HERE (outside the jit). Callers compiling for
+    non-default devices pass a resolved value (parallel.mesh.evaluate_batch
+    resolves against the outputs' own sharding)."""
+    if platform == "auto":
+        from gps_optimize_slam_tpu.utils.backend import resolve_platform
+
+        platform = resolve_platform()
+    return _evaluate(slam_times, slam_pos, outputs, skip_seconds, platform)
+
+
+@partial(jax.jit, static_argnames=("platform",))
+@highp
+def _evaluate(
+    slam_times: jnp.ndarray,
+    slam_pos: jnp.ndarray,
+    outputs: FusionOutputs,
+    skip_seconds: float = 5.0,
+    platform: str = "cpu",
+) -> Evaluation:
     gate = metrics.eval_mask(slam_times, outputs.gps_valid, skip_seconds)
     cands = jnp.nan_to_num(outputs.aligned_gps, nan=0.0)
     cand_mask = gate  # the reference's candidate set is the same gated rows
 
     def nn(traj):
-        e = metrics.nn_errors_auto(traj, cands, gate, cand_mask)
+        e = metrics.nn_errors_auto(traj, cands, gate, cand_mask, platform=platform)
         return metrics.error_stats(e, gate)
 
     def ate(traj):
@@ -182,8 +247,6 @@ def evaluate(
     )
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-@highp
 def evaluate_vs_track(
     slam_times: jnp.ndarray,
     slam_pos: jnp.ndarray,
@@ -199,19 +262,45 @@ def evaluate_vs_track(
     aligned onto the SLAM timestamps and the same NN/ATE statistics are
     computed for raw SLAM / Sim3 / EKF. Returns ``(Evaluation, AlignedGPS)``
     — the aligned track is what the plot layer overlays
-    (EKFGPSSLAM.py:1069-1082 picks GT-based errors for plotting)."""
+    (EKFGPSSLAM.py:1069-1082 picks GT-based errors for plotting).
+
+    ``cfg.platform == "auto"`` resolves against the process default here
+    (outside the jit) — same boundary contract as :func:`fuse_core`."""
+    if cfg.platform == "auto":
+        from gps_optimize_slam_tpu.utils.backend import resolve_platform
+
+        cfg = cfg.replace(platform=resolve_platform())
+    return _evaluate_vs_track(
+        slam_times, slam_pos, outputs, track_times, track_positions,
+        track_valid, cfg=cfg, skip_seconds=skip_seconds,
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+@highp
+def _evaluate_vs_track(
+    slam_times: jnp.ndarray,
+    slam_pos: jnp.ndarray,
+    outputs: FusionOutputs,
+    track_times: jnp.ndarray,
+    track_positions: jnp.ndarray,
+    track_valid: jnp.ndarray,
+    cfg: FusionConfig = FusionConfig(),
+    skip_seconds: float = 5.0,
+):
     al = alignment.align_gps_to_slam(
         slam_times,
         track_times,
         track_positions,
         gps_valid=track_valid,
         cfg=cfg.time_alignment,
+        platform=cfg.platform,
     )
     gate = metrics.eval_mask(slam_times, al.valid, skip_seconds)
     cands = jnp.nan_to_num(al.aligned, nan=0.0)
 
     def nn(traj):
-        e = metrics.nn_errors_auto(traj, cands, gate, gate)
+        e = metrics.nn_errors_auto(traj, cands, gate, gate, platform=cfg.platform)
         return metrics.error_stats(e, gate)
 
     def ate(traj):

@@ -94,16 +94,18 @@ def transform_trajectory_chunked(
 
 
 @lru_cache(maxsize=8)
-def _nn_block_kernel(dtype_name: str):
+def _nn_block_kernel(dtype_name: str, platform: str):
     """Jitted block step of the streamed NN metric: fold one candidate block
     into the running per-point minimum distance. On TPU the block itself runs
-    the tiled Pallas kernel (metrics.nn_errors_auto dispatch)."""
+    the tiled Pallas kernel (metrics.nn_errors_auto dispatch; ``platform`` is
+    the caller-resolved compile platform)."""
     dtype = jnp.dtype(dtype_name)
 
     @jax.jit
     def kernel(running, traj, cands, tmask, cmask):
         e = metrics.nn_errors_auto(
-            traj.astype(dtype), cands.astype(dtype), tmask, cmask
+            traj.astype(dtype), cands.astype(dtype), tmask, cmask,
+            platform=platform,
         )
         return jnp.minimum(running, e)
 
@@ -151,16 +153,19 @@ def nn_errors_streamed(
     dtype = np.dtype(dtype)
     if out is None:
         out = np.full(n, np.inf, dtype)
-    kernel = _nn_block_kernel(dtype.name)
+    # Resolution boundary: the block kernels dispatch on the default device
+    # (host-driven streaming, no mesh) — resolve once, thread through.
+    from gps_optimize_slam_tpu.utils.backend import resolve_platform
+
+    platform = resolve_platform()
+    kernel = _nn_block_kernel(dtype.name, platform)
     m = candidates.shape[0]
     # Block size for the NN reduction itself: the Pallas path (accelerators)
     # streams VMEM tiles and never materialises the block matrix, so the
     # full chunk is fine; the jnp fallback (CPU) materialises
     # (blk, blk) distances — cap it (4096² f64 = 134 MB). Also shrink to
     # the problem so a 271-pose trajectory doesn't pad to 262144.
-    from gps_optimize_slam_tpu.utils.backend import effective_platform
-
-    blk = chunk_size if effective_platform() != "cpu" else min(chunk_size, 4096)
+    blk = chunk_size if platform != "cpu" else min(chunk_size, 4096)
     blk = min(blk, max(_round_up8(n), _round_up8(m)))
     cands_np = np.nan_to_num(np.asarray(candidates, dtype), nan=0.0)
     for a in range(0, n, blk):
@@ -239,13 +244,88 @@ def evaluate_chunked(
     the stored transform; per-point error arrays live on host (N floats
     each). Returns the same ``fusion.Evaluation`` tuple shape with host
     scalars."""
+    return _evaluate_streamed(
+        slam_times,
+        slam_pos,
+        slam_quat,
+        result,
+        np.asarray(result.aligned_gps),
+        np.asarray(result.gps_valid, bool),
+        chunk_size=chunk_size,
+        skip_seconds=skip_seconds,
+        dtype=dtype,
+    )
+
+
+def evaluate_vs_track_chunked(
+    slam_times,
+    slam_pos,
+    slam_quat,
+    result: ChunkedFusionResult,
+    track_times,
+    track_positions,
+    track_valid=None,
+    cfg: FusionConfig = FusionConfig(),
+    chunk_size: int = 65536,
+    skip_seconds: float = 5.0,
+    dtype=np.float64,
+):
+    """Out-of-core counterpart of ``models.fusion.evaluate_vs_track``
+    (reference GT evaluation, EKFGPSSLAM.py:1044-1082): the INDEPENDENT
+    reference track (e.g. ground-truth GNSS) is temporally aligned onto the
+    SLAM timestamps with the chunk+halo cubic aligner, then the same NN/ATE
+    statistics stream over host chunks. Returns ``(Evaluation,
+    AlignedGPS(host aligned (N,3), host valid (N,)))`` — mirroring the
+    in-core return so the GT surface is identical at >HBM scale (VERDICT r3
+    task 8: the reference offers GT comparison unconditionally)."""
+    from gps_optimize_slam_tpu.ops.alignment import AlignedGPS
+
+    dtype = np.dtype(dtype)
+    aligned, valid = alignment_chunked.align_gps_to_slam_chunked(
+        slam_times,
+        track_times,
+        track_positions,
+        gps_valid=track_valid,
+        cfg=cfg.time_alignment,
+        chunk_size=chunk_size,
+        dtype=dtype,
+        platform=cfg.platform,
+    )
+    ev = _evaluate_streamed(
+        slam_times,
+        slam_pos,
+        slam_quat,
+        result,
+        aligned,
+        valid,
+        chunk_size=chunk_size,
+        skip_seconds=skip_seconds,
+        dtype=dtype,
+    )
+    return ev, AlignedGPS(aligned=aligned, valid=valid)
+
+
+def _evaluate_streamed(
+    slam_times,
+    slam_pos,
+    slam_quat,
+    result: ChunkedFusionResult,
+    aligned: np.ndarray,
+    valid: np.ndarray,
+    chunk_size: int = 65536,
+    skip_seconds: float = 5.0,
+    dtype=np.float64,
+):
+    """Shared streamed NN/ATE machinery: statistics of the three
+    trajectories against the candidate track ``(aligned, valid)`` with the
+    post-skip gate, O(chunk) device residency."""
     from gps_optimize_slam_tpu.models.fusion import Evaluation
 
     dtype = np.dtype(dtype)
     n = len(slam_times)
     st = np.asarray(slam_times)
-    gate = np.asarray(result.gps_valid, bool) & (st > st[0] + skip_seconds)
-    aligned = np.asarray(result.aligned_gps)
+    gate = np.asarray(valid, bool) & (st > st[0] + skip_seconds)
+    aligned = np.asarray(aligned)
 
     tkernel = _transform_kernel(dtype.name)
     jdt = jnp.dtype(dtype.name)
@@ -353,6 +433,16 @@ def fuse_core_chunked(
     dtype = np.dtype(dtype)
     n = len(slam_times)
 
+    # Resolution boundary for the chunk kernels' dispatch: the default
+    # device (host-driven streaming), or scan_fn's mesh when the filter
+    # scans shard over one.
+    from gps_optimize_slam_tpu.utils.backend import resolve_platform
+
+    if config.platform == "auto":
+        config = config.replace(
+            platform=resolve_platform(mesh=getattr(scan_fn, "mesh", None))
+        )
+
     aligned, valid = alignment_chunked.align_gps_to_slam_chunked(
         slam_times,
         gps_times,
@@ -363,6 +453,7 @@ def fuse_core_chunked(
         chunk_size=chunk_size,
         halo=halo,
         dtype=dtype,
+        platform=config.platform,
     )
 
     window = alignment_chunked.sim3_window_mask_host(
@@ -382,6 +473,7 @@ def fuse_core_chunked(
         max_ransac_points=max_ransac_points,
         chunk_size=chunk_size,
         dtype=dtype,
+        platform=config.platform,
     )
 
     # Initial state: the Sim3-transformed first pose (the only place the
@@ -409,6 +501,7 @@ def fuse_core_chunked(
         out_pos=out_pos,
         out_quat=out_quat,
         scan_fn=scan_fn,
+        platform=config.platform,
     )
 
     result = ChunkedFusionResult(

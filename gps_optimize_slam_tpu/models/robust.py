@@ -48,6 +48,7 @@ class RobustFusionResult(NamedTuple):
 def _gated_availability(
     slam_times, slam_pos, slam_quat, init_pos, init_quat, aligned_gps,
     avail_eval, avail_update, params: kalman.EKFParams, gate: float,
+    platform: str = "auto",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One sequential forward pass computing the χ² gate decisions.
 
@@ -60,7 +61,7 @@ def _gated_availability(
     (covariance is block-diagonal, see ops.kalman_parallel).
     """
     dp, dq = se3.relative_poses_along(slam_pos, slam_quat)
-    q_chain = kalman_parallel.parallel_quat_chain(init_quat, dq)
+    q_chain = kalman_parallel.parallel_quat_chain(init_quat, dq, platform=platform)
     d = quat.rotate(q_chain[:-1], dp)
     dt = jnp.maximum(1e-6, slam_times[1:] - slam_times[:-1])
     Q = params.Q_per_sec[:3, :3]
@@ -93,7 +94,6 @@ def _gated_availability(
     return accepted, nis_full
 
 
-@partial(jax.jit, static_argnames=("ekf_cfg", "rts_cfg", "n_iterations", "scan"))
 def fuse_robust(
     slam_times: jnp.ndarray,
     slam_pos: jnp.ndarray,
@@ -107,14 +107,46 @@ def fuse_robust(
     gate_chi2: float = CHI2_3DOF_95,
     n_iterations: int = 2,
     scan: str = "auto",
+    platform: str = "auto",
 ) -> RobustFusionResult:
     """EKF + RTS fusion with χ²-gated GNSS updates, iterated to a fixed
     point of the gate decisions.
 
     ``scan`` mirrors FusionConfig.ekf_scan: "auto" resolves to the O(log N)
     associative path on accelerators and the sequential scan on CPU (whose
-    associative-path compile is minutes-slow on XLA:CPU — same trace-time
-    decision fuse_core makes); both produce the same trajectory."""
+    associative-path compile is minutes-slow on XLA:CPU); both produce the
+    same trajectory. ``platform`` mirrors FusionConfig.platform — "auto"
+    resolves against the process default HERE, outside the jit; callers
+    compiling for non-default devices pass the resolved value."""
+    if platform == "auto":
+        from gps_optimize_slam_tpu.utils.backend import resolve_platform
+
+        platform = resolve_platform()
+    return _fuse_robust(
+        slam_times, slam_pos, slam_quat, sim3_pos, sim3_quat, aligned_gps,
+        valid_mask, ekf_cfg, rts_cfg, gate_chi2, n_iterations, scan, platform,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("ekf_cfg", "rts_cfg", "n_iterations", "scan", "platform"),
+)
+def _fuse_robust(
+    slam_times: jnp.ndarray,
+    slam_pos: jnp.ndarray,
+    slam_quat: jnp.ndarray,
+    sim3_pos: jnp.ndarray,
+    sim3_quat: jnp.ndarray,
+    aligned_gps: jnp.ndarray,
+    valid_mask: jnp.ndarray,
+    ekf_cfg: EKFConfig = EKFConfig(),
+    rts_cfg: RTSDecisionConfig = RTSDecisionConfig(),
+    gate_chi2: float = CHI2_3DOF_95,
+    n_iterations: int = 2,
+    scan: str = "auto",
+    platform: str = "cpu",
+) -> RobustFusionResult:
     dtype = slam_pos.dtype
     params = kalman.ekf_params(ekf_cfg, dtype=dtype)
     avail = valid_mask & ~jnp.any(jnp.isnan(aligned_gps), axis=-1)
@@ -123,16 +155,15 @@ def fuse_robust(
     for _ in range(n_iterations):
         accepted, nis = _gated_availability(
             slam_times, slam_pos, slam_quat, sim3_pos[0], sim3_quat[0],
-            aligned_gps, avail, accepted, params, gate_chi2,
+            aligned_gps, avail, accepted, params, gate_chi2, platform=platform,
         )
-
-    from gps_optimize_slam_tpu.utils.backend import effective_platform
 
     use_parallel = scan == "parallel" or (
         scan == "auto"
         and rts_cfg.default_ekf_transition_steps_on_sharp_turn == 0
-        and effective_platform() != "cpu"
+        and platform != "cpu"
     )
+    kw = {"platform": platform} if use_parallel else {}
     fuse_fn = (
         kalman_parallel.fuse_ekf_rts_parallel if use_parallel else kalman.fuse_ekf_rts
     )
@@ -140,5 +171,6 @@ def fuse_robust(
         slam_times, slam_pos, slam_quat, sim3_pos, sim3_quat,
         jnp.where(accepted[:, None], aligned_gps, jnp.nan),
         accepted, ekf_cfg, rts_cfg,
+        **kw,
     )
     return RobustFusionResult(positions=pos, quaternions=q, accepted=accepted, nis=nis)

@@ -42,6 +42,12 @@ from gps_optimize_slam_tpu.utils.precision import highp
 
 _INF = jnp.inf
 
+# Work-product cap (N·M one-hot elements) for the auto matmul-gather choice:
+# the one-hot materialises O(N·M) HBM (f32), so beyond ~64M elements
+# (≈256 MB) the dynamic gather wins despite its serialisation — same guard
+# the searchsorted method choice applies two lines above it.
+GATHER_MATMUL_MAX_WORK = 64_000_000
+
 
 def estimate_time_offset(slam_times, gps_times, max_samples: int = 500) -> float:
     """Cross-correlation clock-offset estimate (reference EKFGPSSLAM.py:301-323).
@@ -540,6 +546,7 @@ def align_gps_to_slam(
     spline_solver: str = "auto",
     gather: str = "auto",
     assume_sorted: bool = False,
+    platform: str = "auto",
 ) -> AlignedGPS:
     """Interpolate GPS positions onto SLAM timestamps, honouring gaps.
 
@@ -556,7 +563,14 @@ def align_gps_to_slam(
     ``gather``: how the spline evaluation fetches its per-interval rows —
     "take" (XLA dynamic gather; right on CPU), "matmul" (one-hot MXU
     matmul, bit-exact, ~6 ms faster at all-KITTI scale on TPU), or "auto"
-    (matmul off-CPU). Both paths produce identical outputs.
+    (matmul off-CPU, capped: above ``GATHER_MATMUL_MAX_WORK`` one-hot
+    elements the O(N·M) intermediate would dominate HBM, so auto falls
+    back to the dynamic gather). Both paths produce identical outputs.
+
+    ``platform`` must name the COMPILE platform when this is traced into a
+    program targeting non-default devices (fuse_core passes its resolved
+    config.platform); "auto" consults the process-default oracle
+    (utils.backend.resolve_platform).
 
     ``assume_sorted``: promise that the VALID GPS timestamps are
     nondecreasing (true of every real GNSS stream; callers verify on the
@@ -606,10 +620,16 @@ def align_gps_to_slam(
     j = jnp.searchsorted(t, slam_times, side="right", method=ss_method) - 1
     j = jnp.clip(j, 0, m - 1)
 
-    from gps_optimize_slam_tpu.utils.backend import effective_platform
+    from gps_optimize_slam_tpu.utils.backend import resolve_platform
 
+    # Auto gather: one-hot matmul off-CPU, but capped — the one-hot is an
+    # (N, M) intermediate, O(N·M) HBM; beyond the cap (≈256 MB f32) the
+    # dynamic gather's serialisation is the lesser evil (same work-product
+    # guard as the searchsorted method choice above).
     use_matmul = gather == "matmul" or (
-        gather == "auto" and effective_platform() != "cpu"
+        gather == "auto"
+        and resolve_platform(platform) != "cpu"
+        and m * slam_times.shape[0] <= GATHER_MATMUL_MAX_WORK
     )
     if use_matmul:
         # TPU path: the ~13 per-point/per-interval fetches become TWO

@@ -144,7 +144,7 @@ def compact_gps_host(
 
 
 @lru_cache(maxsize=16)
-def _align_kernel(cfg: TimeAlignConfig, dtype_name: str):
+def _align_kernel(cfg: TimeAlignConfig, dtype_name: str, platform: str = "cpu"):
     dtype = jnp.dtype(dtype_name)
 
     @jax.jit
@@ -159,6 +159,7 @@ def _align_kernel(cfg: TimeAlignConfig, dtype_name: str):
             cfg=cfg,
             spline_solver="tridiagonal",
             assume_sorted=True,
+            platform=platform,
         )
         return out.aligned, out.valid
 
@@ -182,6 +183,7 @@ def align_gps_to_slam_chunked(
     out_aligned: Optional[np.ndarray] = None,
     out_valid: Optional[np.ndarray] = None,
     compact: Optional[CompactGPS] = None,
+    platform: str = "auto",
 ) -> Tuple[np.ndarray, np.ndarray]:
     """``alignment.align_gps_to_slam`` for host-resident (memmappable)
     arrays of any length: SLAM timestamps stream through fixed-size chunks,
@@ -230,7 +232,10 @@ def align_gps_to_slam_chunked(
         w_need = max(w_need, hi - lo)
     w = min(_round_up(w_need, 256), m) if m > 256 else m
 
-    kernel = _align_kernel(cfg, dtype.name)
+    from gps_optimize_slam_tpu.utils.backend import resolve_platform
+
+    platform = resolve_platform(platform)  # host-driven: default device
+    kernel = _align_kernel(cfg, dtype.name, platform)
 
     # Chunks are independent programs — software-pipelined like the other
     # out-of-core drivers (utils.streaming).
@@ -359,6 +364,7 @@ def sim3_ransac_streaming(
     max_ransac_points: int = 32768,
     chunk_size: int = 262144,
     dtype=np.float64,
+    platform: str = "auto",
 ) -> StreamingSim3Result:
     """Robust Sim(3) on host-resident point streams of any length.
 
@@ -390,7 +396,7 @@ def sim3_ransac_streaming(
     sub = idx[:: -(-n_win // max_ransac_points)] if subsampled else idx
     src_s = jnp.asarray(np.asarray(src)[sub], jnp.dtype(dtype.name))
     dst_s = jnp.asarray(np.asarray(dst)[sub], jnp.dtype(dtype.name))
-    res = ransac.sim3_ransac(key, src_s, dst_s, cfg=cfg)
+    res = ransac.sim3_ransac(key, src_s, dst_s, cfg=cfg, platform=platform)
     if not subsampled:
         # Everything fit in-core: the in-core result IS the exact answer.
         return StreamingSim3Result(

@@ -43,10 +43,13 @@ from gps_optimize_slam_tpu.ops.kalman import ekf_params
 from gps_optimize_slam_tpu.utils import streaming
 from gps_optimize_slam_tpu.ops.kalman_parallel import (
     _combine_filter,
+    _FILTER_IDENTITY,
     _madd,
+    _maybe_pallas_scan,
     _minv,
     _mmul,
     _mvec,
+    _RTS_IDENTITY,
     _sym_expand,
     _vadd,
     _vsub,
@@ -154,9 +157,14 @@ def _identity_fwd(m0, P0_diag, dtype):
 
 
 @lru_cache(maxsize=16)
-def _fwd_kernel(ekf_cfg: EKFConfig, dtype_name: str, scan_fn=None):
+def _fwd_kernel(ekf_cfg: EKFConfig, dtype_name: str, scan_fn=None, platform: str = "cpu"):
     dtype = jnp.dtype(dtype_name)
     scan = scan_fn or jax.lax.associative_scan
+    # Off-CPU, run the chunk's filtering scan as ONE Pallas kernel: the
+    # single-kernel VMEM ladder when the chunk fits the budget, the
+    # HBM-tiled grid-carried kernel beyond it (131k-element chunks × 27
+    # leaves) — instead of lax's ~2·log₂L fusion rounds per chunk.
+    filter_scan = _maybe_pallas_scan(scan, _FILTER_IDENTITY, platform)
 
     @jax.jit
     def kernel(times, pos, quats, z, avail, q_carry, elem_carry):
@@ -169,7 +177,7 @@ def _fwd_kernel(ekf_cfg: EKFConfig, dtype_name: str, scan_fn=None):
         R_diag = jnp.diag(params.R).astype(dtype)
 
         dp, dq = se3.relative_poses_along(pos, quats)  # (L,·)
-        qf = parallel_quat_chain(q_carry, dq, scan_fn=scan)  # (L+1,4)
+        qf = parallel_quat_chain(q_carry, dq, scan_fn=scan, platform=platform)  # (L+1,4)
         d = quat.rotate(qf[:-1], dp)  # (L,3)
 
         dt = jnp.maximum(1e-6, times[1:] - times[:-1])
@@ -201,7 +209,7 @@ def _fwd_kernel(ekf_cfg: EKFConfig, dtype_name: str, scan_fn=None):
             eta=tuple(cat(c, r) for c, r in zip(carry["eta"], eta)),
             J=tuple(cat(c, r) for c, r in zip(carry["J"], J)),
         )
-        out = scan(_combine_filter, elems)
+        out = filter_scan(_combine_filter, elems)
         m_f = jnp.stack([out["b"][i][1:] for i in range(3)], axis=-1)
         P_f6 = jnp.stack([out["C"][i][1:] for i in range(6)], axis=-1)
         last = jax.tree.map(lambda x: x[-1], out)
@@ -219,9 +227,11 @@ def _fwd_kernel(ekf_cfg: EKFConfig, dtype_name: str, scan_fn=None):
 
 
 @lru_cache(maxsize=16)
-def _bwd_kernel(dtype_name: str, scan_fn=None):
+def _bwd_kernel(dtype_name: str, scan_fn=None, platform: str = "cpu"):
     dtype = jnp.dtype(dtype_name)
     scan = scan_fn or jax.lax.associative_scan
+    # Same single-kernel upgrade as _fwd_kernel, for the RTS suffix scan.
+    rts_scan = _maybe_pallas_scan(scan, _RTS_IDENTITY, platform)
 
     @jax.jit
     def kernel(m_f, P_f6, d, Qd_diag, interior, carry_M, carry_c):
@@ -256,7 +266,7 @@ def _bwd_kernel(dtype_name: str, scan_fn=None):
             M1, c1 = later["M"], later["c"]
             return dict(M=_mmul(M1, M2), c=_vadd(_mvec(M1, c2), c1))
 
-        out = scan(combine, Mc, reverse=True)
+        out = rts_scan(combine, Mc, reverse=True)
         m_s = jnp.stack([out["c"][i][:-1] for i in range(3)], axis=-1)
         first = jax.tree.map(lambda x: x[0], out)
         return m_s, jnp.stack(first["M"]), jnp.stack(first["c"])
@@ -285,6 +295,7 @@ def fuse_ekf_rts_chunked(
     out_pos: np.ndarray = None,
     out_quat: np.ndarray = None,
     scan_fn=None,
+    platform: str = "auto",
 ) -> Tuple[np.ndarray, np.ndarray]:
     """EKF + RTS over a host-resident (possibly memmapped) trajectory of any
     length, streaming fixed-size chunks through the device.
@@ -301,9 +312,17 @@ def fuse_ekf_rts_chunked(
     shards each chunk's associative scans over a device mesh — host chunks
     × device blocks, the >HBM form of sequence parallelism. Each scan runs
     over chunk_size+1 elements (the carried composite is element 0), so
-    pick ``chunk_size = k·D − 1`` for a D-device mesh."""
+    pick ``chunk_size = k·D − 1`` for a D-device mesh.
+
+    ``platform``: resolution boundary for kernel dispatch inside the chunk
+    kernels — "auto" resolves against ``scan_fn``'s mesh when it carries one
+    (parallel.seqpar attaches it), else the process default (the device the
+    chunk kernels actually dispatch on)."""
     if rts_cfg.default_ekf_transition_steps_on_sharp_turn != 0:
         raise ValueError("chunked scan requires hard updates (transition steps == 0)")
+    from gps_optimize_slam_tpu.utils.backend import resolve_platform
+
+    platform = resolve_platform(platform, mesh=getattr(scan_fn, "mesh", None))
     n = len(slam_times)
     dtype = np.dtype(dtype)
     jdt = dtype.name
@@ -325,7 +344,7 @@ def fuse_ekf_rts_chunked(
     params = ekf_params(ekf_cfg, dtype=jnp_.dtype(jdt))
     P0_diag = np.diag(np.asarray(params.P0))[:3]
 
-    fwd = _fwd_kernel(ekf_cfg, jdt, scan_fn)
+    fwd = _fwd_kernel(ekf_cfg, jdt, scan_fn, platform)
     q0 = np.asarray(sim3_quat0, dtype)
     m0 = np.asarray(sim3_pos0, dtype)
     q_carry = jax.device_put(q0)
@@ -388,7 +407,7 @@ def fuse_ekf_rts_chunked(
     )
 
     # --- backward chunks (suffix scan) ---
-    bwd = _bwd_kernel(jdt, scan_fn)
+    bwd = _bwd_kernel(jdt, scan_fn, platform)
     interior_steps = member[:-1] & ~end[:-1] if n > 1 else np.zeros(0, bool)
     m_s_all = np.empty((n, 3), dtype)
     m_s_all[n - 1] = m_f_all[n - 1]

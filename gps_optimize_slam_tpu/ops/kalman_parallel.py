@@ -115,7 +115,7 @@ def _meye_plus(m):
     return tuple(out)
 
 
-def _maybe_pallas_scan(scan_fn, identity):
+def _maybe_pallas_scan(scan_fn, identity, platform: str):
     """Swap the DEFAULT scan for the single-kernel Pallas ladder off-CPU.
 
     ``lax.associative_scan`` lowers to ~2·log₂N separate fusion rounds; at
@@ -127,17 +127,23 @@ def _maybe_pallas_scan(scan_fn, identity):
     caller-provided scan_fn (e.g. parallel.seqpar's cross-device block
     scan) is respected — if it advertises ``bind_identity`` (seqpar does),
     it is handed the identity so its per-device LOCAL scans can run the
-    same single-kernel ladder. The Pallas wrapper itself falls back to
-    lax for f64 or beyond the VMEM budget (the 131k-pose chunked path).
-    """
-    from gps_optimize_slam_tpu.utils.backend import effective_platform
+    same single-kernel ladder. The Pallas wrapper itself picks the VMEM
+    ladder within budget, the HBM-tiled grid-carried kernel beyond it
+    (131k-pose chunks), and falls back to lax for f64/non-1-D trees.
 
+    ``platform`` is the RESOLVED compile platform (never "auto") — the
+    caller resolves it against the devices the program will actually
+    compile for (utils.backend.resolve_platform). Consulting the
+    process-default oracle here broke MULTICHIP_r03: a CPU-mesh program
+    traced under a TPU-default process bound non-interpret Mosaic kernels
+    that XLA:CPU cannot lower.
+    """
     if scan_fn is not jax.lax.associative_scan:
         bind = getattr(scan_fn, "bind_identity", None)
-        if bind is None or effective_platform() == "cpu":
+        if bind is None or platform == "cpu":
             return scan_fn
         return bind(identity)
-    if effective_platform() == "cpu":
+    if platform == "cpu":
         return scan_fn
     from gps_optimize_slam_tpu.ops.pallas_scan import make_scan_fn
 
@@ -196,14 +202,22 @@ def _combine_filter(e1, e2):
 
 @highp
 def parallel_quat_chain(
-    init_quat: jnp.ndarray, dq: jnp.ndarray, scan_fn=jax.lax.associative_scan
+    init_quat: jnp.ndarray,
+    dq: jnp.ndarray,
+    scan_fn=jax.lax.associative_scan,
+    platform: str = "auto",
 ) -> jnp.ndarray:
     """q_k = normalize(q₀ ⊗ δq₁ ⊗ … ⊗ δq_k) for all k, in log depth.
 
     SoA layout: four (N,) component arrays. ``scan_fn`` must implement the
     ``lax.associative_scan(combine, elems, reverse=...)`` contract — the
     default runs on one device; ``parallel.seqpar`` passes a cross-device
-    scan to shard the pose axis over a mesh."""
+    scan to shard the pose axis over a mesh. ``platform`` gates the Pallas
+    ladder swap and must be the resolved COMPILE platform when traced for
+    non-default devices (utils.backend.resolve_platform)."""
+    from gps_optimize_slam_tpu.utils.backend import resolve_platform
+
+    platform = resolve_platform(platform)
 
     def combine(a, b):
         x1, y1, z1, w1 = a
@@ -218,7 +232,7 @@ def parallel_quat_chain(
 
     qs = jnp.concatenate([quat.normalize(init_quat)[None], dq], axis=0)
     comps = tuple(qs[:, i] for i in range(4))
-    out = _maybe_pallas_scan(scan_fn, _QUAT_IDENTITY)(combine, comps)
+    out = _maybe_pallas_scan(scan_fn, _QUAT_IDENTITY, platform)(combine, comps)
     return jnp.stack(out, axis=-1)
 
 
@@ -232,6 +246,7 @@ def parallel_position_filter(
     z: jnp.ndarray,  # (N-1,3) measurements (arbitrary where invalid)
     avail: jnp.ndarray,  # (N-1,) bool
     scan_fn=jax.lax.associative_scan,
+    platform: str = "auto",
 ):
     """Filtered means (N,3) and covariances of the affine KF x←x+d, H=I.
 
@@ -241,8 +256,11 @@ def parallel_position_filter(
 
     Exploits DIAGONAL Q and R (the config's form): the per-step element
     matrices are diagonal, so element construction is elementwise; only the
-    combine mixes components.
+    combine mixes components. ``platform``: see ``parallel_quat_chain``.
     """
+    from gps_optimize_slam_tpu.utils.backend import resolve_platform
+
+    platform = resolve_platform(platform)
     n1 = d.shape[0]
     dtype = d.dtype
     zeros = jnp.zeros((n1,), dtype)
@@ -290,7 +308,9 @@ def parallel_position_filter(
         J=tuple(cat(0.0, j) for j in J),
     )
 
-    out = _maybe_pallas_scan(scan_fn, _FILTER_IDENTITY)(_combine_filter, elems)
+    out = _maybe_pallas_scan(scan_fn, _FILTER_IDENTITY, platform)(
+        _combine_filter, elems
+    )
     m_f = _v_to_batched(out["b"])
     return m_f, out["C"]
 
@@ -308,6 +328,7 @@ def fuse_ekf_rts_parallel(
     rts_cfg: RTSDecisionConfig = RTSDecisionConfig(),
     rts_mode: str = "outage",
     scan_fn=jax.lax.associative_scan,
+    platform: str = "auto",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Log-depth equivalent of ``kalman.fuse_ekf_rts`` for hard-update
     configs (effective transition steps ≡ 0; guaranteed statically when
@@ -320,12 +341,20 @@ def fuse_ekf_rts_parallel(
     chain, forward filter, RTS suffix) — ``parallel.seqpar`` passes the
     cross-device block scan so ONE trajectory shards its pose axis over a
     mesh; everything else here is elementwise/local and partitions cleanly
-    under SPMD."""
+    under SPMD.
+
+    ``platform`` gates the single-kernel Pallas ladder swap in all three
+    scans and must be the resolved COMPILE platform when this is traced
+    into a program targeting non-default devices (fuse_core passes its
+    resolved config.platform; seqpar resolves against its mesh)."""
     if rts_cfg.default_ekf_transition_steps_on_sharp_turn != 0:
         raise ValueError(
             "parallel scan requires hard updates (transition steps == 0); "
             "use kalman.fuse_ekf_rts for blending configs"
         )
+    from gps_optimize_slam_tpu.utils.backend import resolve_platform
+
+    platform = resolve_platform(platform)
     dtype = slam_pos.dtype
 
     controls = precompute_controls(
@@ -342,7 +371,9 @@ def fuse_ekf_rts_parallel(
 
     # --- quaternion chain + world-frame deltas (all parallel) ---
     dp, dq = se3.relative_poses_along(slam_pos, slam_quat)
-    q_f = parallel_quat_chain(sim3_quat[0], dq, scan_fn=scan_fn)  # (N,4)
+    q_f = parallel_quat_chain(
+        sim3_quat[0], dq, scan_fn=scan_fn, platform=platform
+    )  # (N,4)
     d = quat.rotate(q_f[:-1], dp)  # (N-1,3)
 
     dt = jnp.maximum(1e-6, slam_times[1:] - slam_times[:-1])
@@ -351,7 +382,8 @@ def fuse_ekf_rts_parallel(
     avail = controls.avail[1:]
 
     m_f, P_f6 = parallel_position_filter(
-        sim3_pos[0], P0_pos, d, Qd_diag, R_diag, z, avail, scan_fn=scan_fn
+        sim3_pos[0], P0_pos, d, Qd_diag, R_diag, z, avail,
+        scan_fn=scan_fn, platform=platform,
     )
 
     # --- RTS backward (exact associative suffix scan, positions only) ---
@@ -396,7 +428,9 @@ def fuse_ekf_rts_parallel(
         M1, c1 = later["M"], later["c"]
         return dict(M=_mmul(M1, M2), c=_vadd(_mvec(M1, c2), c1))
 
-    out = _maybe_pallas_scan(scan_fn, _RTS_IDENTITY)(combine, Mc, reverse=True)
+    out = _maybe_pallas_scan(scan_fn, _RTS_IDENTITY, platform)(
+        combine, Mc, reverse=True
+    )
     m_s = _v_to_batched(out["c"])
 
     use = member[:, None]

@@ -67,18 +67,23 @@ def nn_errors_auto(
     candidates: jnp.ndarray,
     traj_mask: jnp.ndarray,
     cand_mask: jnp.ndarray,
+    platform: str = "auto",
 ) -> jnp.ndarray:
-    """``nn_errors`` with trace-time backend dispatch: on accelerators, above
+    """``nn_errors`` with size/platform dispatch: on accelerators, above
     ``PALLAS_NN_MIN_WORK`` distance evaluations, the tiled Pallas kernel
     (ops.pallas_kernels) streams blocks through VMEM instead of materialising
     the (N, M) matrix in HBM — the evaluator's scale path (replaces the
     reference's cdist, EKFGPSSLAM.py:1030). On CPU (tests, virtual meshes)
     the fused jnp path runs; results agree to f32 rounding (the kernel
-    computes the same unrolled Σ(aₖ−bₖ)² with no matmul cancellation)."""
-    n, m = traj.shape[0], candidates.shape[0]
-    from gps_optimize_slam_tpu.utils.backend import effective_platform
+    computes the same unrolled Σ(aₖ−bₖ)² with no matmul cancellation).
 
-    if n * m >= PALLAS_NN_MIN_WORK and effective_platform() != "cpu":
+    ``platform`` must name the COMPILE platform when traced for non-default
+    devices (see utils.backend.resolve_platform); "auto" consults the
+    process-default oracle."""
+    n, m = traj.shape[0], candidates.shape[0]
+    from gps_optimize_slam_tpu.utils.backend import resolve_platform
+
+    if n * m >= PALLAS_NN_MIN_WORK and resolve_platform(platform) != "cpu":
         from gps_optimize_slam_tpu.ops.pallas_kernels import nn_errors_pallas
 
         return nn_errors_pallas(traj, candidates, traj_mask, cand_mask)

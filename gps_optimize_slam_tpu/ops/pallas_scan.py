@@ -33,8 +33,13 @@ three Kalman scans have trivial ones (identity quaternion; (A=I, b=0,
 C=0, η=0, J=0); (M=I, c=0)).
 
 Used by ops.kalman_parallel when the leaves fit the VMEM budget (padding
-included); callers fall back to lax.associative_scan on CPU, for f64, or
-beyond the budget — e.g. the >HBM chunked path at 131k-pose chunks.
+included). Beyond the budget (e.g. the >HBM chunked path at 131k-pose
+chunks), :func:`associative_scan_tiled` runs the same computation as one
+HBM-resident kernel: (block_rows, 128) tiles stream through the grid
+(sequential on TPU) with the running composite carried in a VMEM scratch —
+the cross-block decomposition parallel.seqpar uses across devices, within
+one kernel. Callers fall back to lax.associative_scan on CPU or for
+non-f32/non-1-D trees (make_scan_fn gates all of this).
 """
 
 from __future__ import annotations
@@ -56,10 +61,10 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _scan_kernel(*refs, combine, treedef, idents, R, reverse):
-    n_leaves = len(idents)
-    in_refs, out_refs = refs[:n_leaves], refs[n_leaves:]
-    xs = [r[:, :] for r in in_refs]  # each (R, 128)
+def _ladder(xs, *, combine, treedef, idents, R, reverse):
+    """The in-VMEM Hillis-Steele ladder on (R, 128) leaf blocks: lane-ladder
+    phase 1 + row-ladder phase 2 (see module docstring). Returns the
+    inclusive prefix (suffix when ``reverse``) of the block."""
     dtype = xs[0].dtype
 
     def blk(i, shape):
@@ -130,7 +135,15 @@ def _scan_kernel(*refs, combine, treedef, idents, R, reverse):
         # rows in forward and the later rows in reverse — first arg both
         # ways.
         xs = apply(excl, xs)
+    return xs
 
+
+def _scan_kernel(*refs, combine, treedef, idents, R, reverse):
+    n_leaves = len(idents)
+    in_refs, out_refs = refs[:n_leaves], refs[n_leaves:]
+    xs = [r[:, :] for r in in_refs]  # each (R, 128)
+    xs = _ladder(xs, combine=combine, treedef=treedef, idents=idents, R=R,
+                 reverse=reverse)
     for r, x in zip(out_refs, xs):
         r[:, :] = x
 
@@ -169,9 +182,24 @@ def associative_scan_vmem(
         raise ValueError("leaves exceed the VMEM scan budget")
     R = n_pad // _LANES
 
+    # Identity padding, marked varying over the leaves' own manual axes:
+    # inside shard_map, concatenating an UNVARIED constant with an
+    # axis-varying operand fails the vma check — pvary/pcast is jax's
+    # sanctioned fix, and it keeps check_vma ON for the compiled production
+    # path (the interpret-mode kernel discharge still needs the scoped
+    # check_vma=False in parallel.seqpar).
+    def _ident_fill(i, k):
+        fill = jnp.full((k,), idents[i], dtype)
+        vma = getattr(jax.typeof(leaves[i]), "vma", None)
+        if vma:
+            fill = jax.lax.pcast(fill, tuple(vma), to="varying")
+        return fill
+
     padded = [
-        jnp.concatenate(
-            [lf, jnp.full((n_pad - n,), idents[i], dtype)]
+        (
+            jnp.concatenate([lf, _ident_fill(i, n_pad - n)])
+            if n_pad != n
+            else lf
         ).reshape(R, _LANES)
         for i, lf in enumerate(leaves)
     ]
@@ -202,6 +230,142 @@ def associative_scan_vmem(
     return jax.tree.unflatten(treedef, flat)
 
 
+def _tiled_scan_kernel(
+    *refs, combine, treedef, idents, Rb, reverse, n_blocks
+):
+    """Grid-carried scan over HBM-resident leaves (one (Rb, 128) block per
+    grid step; TPU grids execute SEQUENTIALLY, so a VMEM scratch carries the
+    running composite between blocks — the same decomposition
+    parallel.seqpar._block_scan uses across devices, here across grid
+    steps within ONE kernel). ``reverse`` walks the blocks back-to-front via
+    the BlockSpec index maps; the carry then holds the exclusive SUFFIX."""
+    n_leaves = len(idents)
+    in_refs = refs[:n_leaves]
+    out_refs = refs[n_leaves : 2 * n_leaves]
+    carry_refs = refs[2 * n_leaves :]
+    g = pl.program_id(0)
+    dtype = in_refs[0].dtype
+
+    @pl.when(g == 0)
+    def _():
+        for i, c in enumerate(carry_refs):
+            c[:, :] = jnp.full((1, _LANES), idents[i], dtype)
+
+    def apply(earlier, later):
+        out = combine(
+            jax.tree.unflatten(treedef, earlier),
+            jax.tree.unflatten(treedef, later),
+        )
+        return jax.tree.leaves(out)
+
+    xs = [r[:, :] for r in in_refs]  # (Rb, 128)
+    xs = _ladder(xs, combine=combine, treedef=treedef, idents=idents, R=Rb,
+                 reverse=reverse)
+    # Fold the carried exclusive prefix (suffix) into every block element.
+    # combine's first argument: forward = earlier composite (the carry);
+    # reverse = later composite (also the carry — it came from larger-k
+    # blocks, which the reversed grid visits first). combine(identity, x)
+    # == x makes the g == 0 fold a no-op by the identity contract.
+    cs = [c[:, :] for c in carry_refs]  # (1, 128), broadcasts over rows
+    xs = apply(cs, xs)
+    for r, x in zip(out_refs, xs):
+        r[:, :] = x
+    # New carry: the block's folded total — last element (first, in
+    # reverse), broadcast across lanes for the next fold.
+    for c, x in zip(carry_refs, xs):
+        if reverse:
+            c[:, :] = jnp.broadcast_to(x[0:1, 0:1], (1, _LANES))
+        else:
+            c[:, :] = jnp.broadcast_to(x[Rb - 1 : Rb, _LANES - 1 :], (1, _LANES))
+
+
+def associative_scan_tiled(
+    combine,
+    elems,
+    identity,
+    reverse: bool = False,
+    interpret: bool = False,
+    block_rows: int | None = None,
+):
+    """``lax.associative_scan`` as ONE Pallas kernel for leaf trees BEYOND
+    the VMEM budget: leaves stay HBM-resident and stream through the kernel
+    in (block_rows, 128) tiles; a VMEM scratch carries the running composite
+    across the (sequential) grid. HBM traffic is the streaming minimum —
+    read + write each leaf once — vs lax's ~2·log₂N round-trips.
+
+    ``block_rows`` defaults to the largest multiple of 8 the VMEM budget
+    accepts for this leaf count. Same eligibility contract as
+    :func:`associative_scan_vmem` (1-D equal-length single-dtype leaves).
+    """
+    leaves, treedef = jax.tree.flatten(elems)
+    idents = [float(x) for x in jax.tree.leaves(identity)]
+    if len(idents) != len(leaves):
+        raise ValueError("identity tree does not match elems tree")
+    n = leaves[0].shape[0]
+    dtype = leaves[0].dtype
+    for lf in leaves:
+        if lf.ndim != 1 or lf.shape[0] != n or lf.dtype != dtype:
+            raise ValueError("leaves must be equal-length 1-D, one dtype")
+    if block_rows is None:
+        block_rows = (
+            _VMEM_BUDGET_BYTES // (2 * len(leaves) * _LANES * dtype.itemsize) // 8
+        ) * 8
+    Rb = max(8, block_rows)
+    block = Rb * _LANES
+    n_pad = _round_up(max(n, block), block)
+    n_blocks = n_pad // block
+
+    def _ident_fill(i, k):
+        fill = jnp.full((k,), idents[i], dtype)
+        vma = getattr(jax.typeof(leaves[i]), "vma", None)
+        if vma:
+            fill = jax.lax.pcast(fill, tuple(vma), to="varying")
+        return fill
+
+    padded = [
+        (
+            jnp.concatenate([lf, _ident_fill(i, n_pad - n)])
+            if n_pad != n
+            else lf
+        ).reshape(n_blocks * Rb, _LANES)
+        for i, lf in enumerate(leaves)
+    ]
+    kernel = functools.partial(
+        _tiled_scan_kernel,
+        combine=combine,
+        treedef=treedef,
+        idents=tuple(idents),
+        Rb=Rb,
+        reverse=reverse,
+        n_blocks=n_blocks,
+    )
+    # Reverse scans walk the blocks back-to-front.
+    if reverse:
+        imap = lambda g: (n_blocks - 1 - g, 0)  # noqa: E731
+    else:
+        imap = lambda g: (g, 0)  # noqa: E731
+    try:
+        vma = jax.typeof(padded[0]).vma
+        out_shape = [
+            jax.ShapeDtypeStruct((n_blocks * Rb, _LANES), dtype, vma=vma)
+        ] * len(leaves)
+    except (AttributeError, TypeError):
+        out_shape = [jax.ShapeDtypeStruct((n_blocks * Rb, _LANES), dtype)] * len(
+            leaves
+        )
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[pl.BlockSpec((Rb, _LANES), imap)] * len(leaves),
+        out_specs=[pl.BlockSpec((Rb, _LANES), imap)] * len(leaves),
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((1, _LANES), dtype)] * len(leaves),
+        interpret=interpret,
+    )(*padded)
+    flat = [o.reshape(n_pad)[:n] for o in outs]
+    return jax.tree.unflatten(treedef, flat)
+
+
 def fits_vmem(elems) -> bool:
     """True when ``associative_scan_vmem`` can hold ``elems`` (padded,
     in+out) within the VMEM budget."""
@@ -211,17 +375,59 @@ def fits_vmem(elems) -> bool:
     return _kernel_fits(len(leaves), n_pad, leaves[0].dtype.itemsize)
 
 
+# Trace-time dispatch log: (impl, n) appended whenever a make_scan_fn scan
+# resolves its implementation — "vmem" (the single-kernel Pallas ladder) or
+# "lax" (fallback: ineligible tree / over budget). Python-level and
+# trace-time only, so entries appear per TRACE, not per execution (a
+# cache-hit re-run adds nothing). Used by the multichip dryrun and tests to
+# assert the Pallas ladder actually engaged (or was correctly skipped)
+# instead of silently falling back.
+DISPATCH_LOG: list = []
+
+
+def _tree_eligible(leaves) -> bool:
+    """Shape/dtype eligibility for the single-kernel scans: 1-D equal-length
+    f32 leaves. Checked BEFORE dispatch so ineligible trees (mixed dtype,
+    non-1-D) silently take the lax path as documented, instead of raising
+    inside the kernels."""
+    n = leaves[0].shape[0] if leaves[0].ndim else None
+    return all(
+        lf.ndim == 1 and lf.shape[0] == n and lf.dtype == jnp.float32
+        for lf in leaves
+    )
+
+
 def make_scan_fn(identity, interpret: bool = False):
     """A drop-in for ``jax.lax.associative_scan`` bound to ``identity``:
-    runs the single-kernel scan when the leaves fit VMEM (and the dtype is
-    f32), falls back to lax otherwise."""
+    runs the single-kernel VMEM scan when the leaf tree is eligible (1-D
+    equal-length f32 leaves) and fits the VMEM budget, the HBM-tiled
+    grid-carried kernel (``associative_scan_tiled``) for eligible trees
+    BEYOND the budget, and lax otherwise. Each trace-time dispatch decision
+    is appended to :data:`DISPATCH_LOG`."""
 
     def scan(combine, elems, reverse: bool = False):
         leaves = jax.tree.leaves(elems)
-        if leaves[0].dtype == jnp.float32 and fits_vmem(elems):
-            return associative_scan_vmem(
+        if _tree_eligible(leaves):
+            n = leaves[0].shape[0]
+            if _kernel_fits(
+                len(leaves),
+                _round_up(max(n, _LANES), _LANES),
+                leaves[0].dtype.itemsize,
+            ):
+                DISPATCH_LOG.append(("vmem", n))
+                return associative_scan_vmem(
+                    combine, elems, identity, reverse=reverse, interpret=interpret
+                )
+            DISPATCH_LOG.append(("vmem_tiled", n))
+            return associative_scan_tiled(
                 combine, elems, identity, reverse=reverse, interpret=interpret
             )
+        DISPATCH_LOG.append(("lax", getattr(leaves[0], "shape", (0,))[0]))
         return jax.lax.associative_scan(combine, elems, reverse=reverse)
 
+    # Introspection: parallel.seqpar scopes its shard_map check_vma
+    # workaround to interpret-mode scans (where the kernel body is
+    # discharged to HLO and its internal identity concats become visible to
+    # the vma checker).
+    scan.interpret = interpret
     return scan

@@ -68,8 +68,18 @@ def sim3_ransac(
     dst: jnp.ndarray,
     valid: Optional[jnp.ndarray] = None,
     cfg: Sim3RansacConfig = Sim3RansacConfig(),
+    platform: str = "auto",
 ) -> Sim3RansacResult:
-    """RANSAC-robust Sim(3) fit of dst onto src over the valid mask."""
+    """RANSAC-robust Sim(3) fit of dst onto src over the valid mask.
+
+    ``platform`` gates the Pallas consensus-count kernel and MUST name the
+    platform this computation will COMPILE FOR when the caller traces it
+    into a program targeting non-default devices (fuse_core passes its
+    resolved ``config.platform``). "auto" consults the process-default
+    oracle — correct only for standalone/default-device callers."""
+    from gps_optimize_slam_tpu.utils.backend import resolve_platform
+
+    platform = resolve_platform(platform)
     n = src.shape[0]
     if valid is None:
         valid = jnp.ones((n,), bool)
@@ -121,9 +131,7 @@ def sim3_ransac(
     # winner's mask/refit below always uses the jnp arithmetic, so converged
     # outputs are unchanged (counts may differ only for residuals within
     # f32 rounding of the threshold — a different-but-equivalent consensus).
-    from gps_optimize_slam_tpu.utils.backend import effective_platform
-
-    use_pallas = effective_platform() not in ("cpu",)
+    use_pallas = platform not in ("cpu",)
 
     def batch_counts(ks):
         if use_pallas:

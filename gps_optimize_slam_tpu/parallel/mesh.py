@@ -50,18 +50,22 @@ def make_mesh(devices: Optional[Sequence] = None, n_devices: Optional[int] = Non
 from functools import lru_cache
 
 
-@lru_cache(maxsize=32)
-def _fused_fn(config: FusionConfig, mesh: Optional[Mesh], n_args: int):
-    """Cached jitted vmapped fusion — building a fresh jax.jit closure per
-    call would miss the jit cache and recompile every invocation (measured:
-    a 47 s "run" that was 10 recompiles)."""
-    # ekf_scan="auto" resolves against the DEFAULT backend inside fuse_core,
-    # which is wrong when the mesh places execution elsewhere (e.g. the
-    # multichip dry-run builds a virtual CPU mesh under a TPU-default
-    # process — the parallel path's CPU compile is minutes-slow). Resolve
-    # it here against the mesh's actual platform.
-    if config.ekf_scan == "auto" and mesh is not None:
-        platform = next(iter(mesh.devices.flat)).platform
+def _resolved_config(config: FusionConfig, mesh: Optional[Mesh]) -> FusionConfig:
+    """PLATFORM RESOLUTION BOUNDARY: every "auto" dispatch knob resolves
+    HERE against the MESH's platform — the devices the fused program will
+    actually compile for — never against the process default. (The process
+    default can differ: the multichip dry-run builds a virtual CPU mesh
+    under a TPU-default process. Keying ekf_scan on the default made the
+    parallel path's CPU compile minutes-slow in round 1; keying the Pallas
+    gates on it emitted non-interpret Mosaic kernels into a CPU-compiled
+    program and crashed MULTICHIP_r03.) Resolution happens BEFORE
+    ``_fused_fn``'s lru_cache key so two calls under different default
+    platforms can never share a stale closure."""
+    from gps_optimize_slam_tpu.utils.backend import resolve_platform
+
+    platform = resolve_platform(config.platform, mesh=mesh)
+    config = config.replace(platform=platform)
+    if config.ekf_scan == "auto":
         resolved = "sequential" if platform == "cpu" else "parallel"
         if (
             resolved == "parallel"
@@ -69,6 +73,15 @@ def _fused_fn(config: FusionConfig, mesh: Optional[Mesh], n_args: int):
         ):
             resolved = "sequential"
         config = config.replace(ekf_scan=resolved)
+    return config
+
+
+@lru_cache(maxsize=32)
+def _fused_fn(config: FusionConfig, mesh: Optional[Mesh], n_args: int):
+    """Cached jitted vmapped fusion — building a fresh jax.jit closure per
+    call would miss the jit cache and recompile every invocation (measured:
+    a 47 s "run" that was 10 recompiles). ``config`` must be RESOLVED
+    (``_resolved_config``) so the cache key carries the platform."""
 
     def one(st, sp, sq, gt, gp, gv, k, sm, toff):
         return fusion.fuse_core(
@@ -275,7 +288,9 @@ def fuse_batch(
         )
     if staged.gps_sorted and not config.gps_sorted:
         config = config.replace(gps_sorted=True)
-    out = _fused_fn(config, mesh, len(staged.args))(*staged.args)
+    out = _fused_fn(_resolved_config(config, mesh), mesh, len(staged.args))(
+        *staged.args
+    )
     if staged.args[0].shape[0] != staged.n_real:
         out = jax.tree.map(lambda x: x[: staged.n_real], out)
     return out
@@ -443,19 +458,28 @@ def fuse_buckets_checkpointed(
 
 
 @lru_cache(maxsize=8)
-def _eval_fn(skip_seconds: float):
-    return jax.jit(jax.vmap(partial(fusion.evaluate, skip_seconds=skip_seconds)))
+def _eval_fn(skip_seconds: float, platform: str):
+    return jax.jit(
+        jax.vmap(
+            partial(fusion._evaluate, skip_seconds=skip_seconds, platform=platform)
+        )
+    )
 
 
 def evaluate_batch(batch: SequenceBatch, outputs, skip_seconds: float = 5.0):
     """Vmapped evaluation over the batch (masked to real poses).
 
     Inputs are placed on the outputs' own sharding — like ``fuse_batch``,
-    nothing dispatches on the default backend when outputs live on a mesh.
+    nothing dispatches on the default backend when outputs live on a mesh;
+    the Pallas NN gate likewise resolves against that sharding's platform
+    (resolution boundary), not the process default.
     """
+    from gps_optimize_slam_tpu.utils.backend import resolve_platform
+
     dt = outputs.corrected_pos.dtype
     place = outputs.corrected_pos.sharding
-    return _eval_fn(skip_seconds)(
+    platform = resolve_platform(sharding=place)
+    return _eval_fn(skip_seconds, platform)(
         jax.device_put(np.asarray(batch.slam_times, dt), place),
         jax.device_put(np.asarray(batch.slam_pos, dt), place),
         outputs,

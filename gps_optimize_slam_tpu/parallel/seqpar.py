@@ -117,13 +117,15 @@ def sequence_parallel_scan(
             local_scan=local_scan,
         )
         kwargs = {}
-        if local_scan is not jax.lax.associative_scan:
-            # The Pallas local scan builds identity-padding constants inside
-            # the kernel; under shard_map's vma check those unvaried
-            # constants can't be concatenated with axis-varying operands
-            # (visible in interpret mode, where the kernel is discharged to
-            # HLO). Disable the check for the bound path — the jax error
-            # message itself names this as the supported workaround.
+        if getattr(local_scan, "interpret", False):
+            # INTERPRET-mode Pallas local scans (tests only) are discharged
+            # to HLO, exposing the kernel's internal identity-block concats
+            # to shard_map's vma checker — unvaried constants concatenated
+            # with axis-varying operands fail it; disabling the check is
+            # the jax-documented workaround. The COMPILED path keeps
+            # check_vma ON: the kernel is opaque (out_shape propagates the
+            # input vma) and the host-side identity padding is pcast to
+            # varying (ops.pallas_scan._ident_fill).
             kwargs["check_vma"] = False
         try:
             inner = shard_map(
@@ -134,6 +136,16 @@ def sequence_parallel_scan(
         return inner(elems)
 
     def bind_identity(identity, interpret: bool = False):
+        # Guard on the MESH's platform, which is what the shard_map body
+        # compiles for — NOT the process default (the class of bug behind
+        # MULTICHIP_r03): a CPU mesh under a TPU-default process must keep
+        # the lax local scan (non-interpret Mosaic kernels cannot lower on
+        # XLA:CPU). Callers (_maybe_pallas_scan) already gate on their
+        # resolved platform; this makes the scan_fn safe for any caller.
+        if not interpret:
+            platform = next(iter(mesh.devices.flat)).platform
+            if platform == "cpu":
+                return scan_fn
         from gps_optimize_slam_tpu.ops.pallas_scan import make_scan_fn
 
         return sequence_parallel_scan(
@@ -141,6 +153,9 @@ def sequence_parallel_scan(
         )
 
     scan_fn.bind_identity = bind_identity
+    # Introspection for platform-resolution boundaries (kalman_chunked):
+    # the mesh this scan compiles for.
+    scan_fn.mesh = mesh
     return scan_fn
 
 
@@ -173,6 +188,11 @@ def fuse_ekf_rts_seqparallel(
 
     Matches ``fuse_ekf_rts_parallel`` to float round-off (tested ≤1e-8 in
     f64 on the virtual 8-device CPU mesh)."""
+    from gps_optimize_slam_tpu.utils.backend import resolve_platform
+
+    # Resolution boundary: kernel dispatch inside the filter (the Pallas
+    # local-scan binding) keys on the MESH's platform, not the default.
+    platform = resolve_platform(mesh=mesh)
     (axis_name,) = mesh.axis_names
     d = mesh.devices.size
     n = slam_times.shape[0]
@@ -210,6 +230,7 @@ def fuse_ekf_rts_seqparallel(
         return kalman_parallel.fuse_ekf_rts_parallel(
             st, sp, sq, s3p, s3q, gz, gv,
             ekf_cfg, rts_cfg, rts_mode=rts_mode_, scan_fn=scan_fn,
+            platform=platform,
         )
 
     pos, quat_out = run(st, sp, sq, s3p, s3q, gz, gv, rts_mode)

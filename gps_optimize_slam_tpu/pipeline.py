@@ -404,6 +404,9 @@ class ChunkedPipelineResult:
     evaluation: Optional[fusion.Evaluation]
     config: FusionConfig
     time_offset: float = 0.0
+    gt: Optional[GPSData] = None
+    gt_evaluation: Optional[fusion.Evaluation] = None
+    gt_aligned: Optional["object"] = None  # AlignedGPS of host arrays
 
     def summary(self) -> str:
         r = self.result
@@ -416,6 +419,21 @@ class ChunkedPipelineResult:
         ]
         if self.evaluation is not None:
             ev = self.evaluation
+            for name, st in [
+                ("raw SLAM  (NN)", ev.nn_slam),
+                ("Sim3      (NN)", ev.nn_sim3),
+                ("EKF fused (NN)", ev.nn_ekf),
+                ("Sim3     (ATE)", ev.ate_sim3),
+                ("EKF      (ATE)", ev.ate_ekf),
+            ]:
+                lines.append(
+                    f"{name}: mean={float(st.mean):.3f}m "
+                    f"median={float(st.median):.3f}m rmse={float(st.rmse):.3f}m "
+                    f"max={float(st.max):.3f}m n={int(st.count)}"
+                )
+        if self.gt_evaluation is not None:
+            ev = self.gt_evaluation
+            lines.append("vs ground-truth GNSS:")
             for name, st in [
                 ("raw SLAM  (NN)", ev.nn_slam),
                 ("Sim3      (NN)", ev.nn_sim3),
@@ -441,6 +459,8 @@ def fuse_files_chunked(
     halo: int = 64,
     dtype=None,
     evaluate: bool = True,
+    gt_path: Optional[str] = None,
+    gt_lon_first: bool = True,
 ) -> ChunkedPipelineResult:
     """End-to-end OUT-OF-CORE fusion: trajectories larger than device memory.
 
@@ -450,7 +470,13 @@ def fuse_files_chunked(
     O(chunk_size). GNSS fixes (~10× sparser than poses) are projected and
     outlier-gated in core at load time; the pose-length arrays are the ones
     that stream. For anything that fits on device, ``fuse_files`` is one
-    fused program and strictly faster."""
+    fused program and strictly faster.
+
+    ``gt_path``: optional ground-truth GNSS track (loaded lon-first by
+    default — SURVEY Q4), evaluated with the STREAMED GT evaluator
+    (fusion_chunked.evaluate_vs_track_chunked) so the reference's
+    unconditional GT comparison (EKFGPSSLAM.py:1044-1067) also exists at
+    >HBM scale."""
     from gps_optimize_slam_tpu.models import fusion_chunked
 
     step(1, 3, f"loading SLAM trajectory {slam_path}")
@@ -459,6 +485,16 @@ def fuse_files_chunked(
     gps = load_and_project_gps(
         gps_path, config.gps_filtering_ransac, frame=frame, seed=seed, dtype=dtype
     )
+    gt = None
+    if gt_path:
+        gt = load_and_project_gps(
+            gt_path,
+            config.ground_truth_gps_filtering,
+            lon_first=gt_lon_first,
+            seed=seed,
+            dtype=dtype,
+            like=gps,
+        )
     offset = estimate_offset(slam, gps, config)
     np_dtype = np.dtype("float64" if jax.config.jax_enable_x64 else "float32")
     step(3, 3, f"chunked fusion ({chunk_size}-pose chunks) + streamed evaluation")
@@ -491,6 +527,24 @@ def fuse_files_chunked(
             chunk_size=chunk_size,
             dtype=np_dtype,
         )
+    gt_ev = gt_al = None
+    if gt is not None:
+        if gt.frame != gps.frame:
+            raise ValueError(
+                f"ground-truth frame {gt.frame!r} != working frame {gps.frame!r}"
+            )
+        gt_ev, gt_al = fusion_chunked.evaluate_vs_track_chunked(
+            np.asarray(slam["timestamps"]),
+            np.asarray(slam["positions"]),
+            np.asarray(slam["quaternions"]),
+            result,
+            np.asarray(gt.timestamps),
+            np.asarray(gt.positions),
+            track_valid=np.asarray(gt.valid),
+            cfg=config,
+            chunk_size=chunk_size,
+            dtype=np_dtype,
+        )
     return ChunkedPipelineResult(
         slam=slam,
         gps=gps,
@@ -498,6 +552,9 @@ def fuse_files_chunked(
         evaluation=ev,
         config=config,
         time_offset=float(offset),
+        gt=gt,
+        gt_evaluation=gt_ev,
+        gt_aligned=gt_al,
     )
 
 

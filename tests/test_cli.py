@@ -428,6 +428,33 @@ def test_fuse_chunked_cli(tmp_path, capsys):
     assert np.loadtxt(str(out)).shape == (271, 8)
 
 
+def test_fuse_chunked_with_gt(tmp_path, capsys):
+    """`fuse --chunked --gt` (VERDICT r3 task 8): the streamed GT evaluator
+    reproduces the in-core GT numbers on seq-04 (reference unconditional GT
+    comparison, EKFGPSSLAM.py:1044-1067)."""
+    rc = main(
+        [
+            "fuse",
+            reference_fixture("yolotum04.txt"),
+            reference_fixture("combined_output.txt"),
+            "--gt",
+            reference_fixture("5.1Kitti04gps"),
+            "--chunked",
+            "--chunk-size",
+            "159",
+            "--json",
+        ]
+    )
+    assert rc == 0
+    captured = capsys.readouterr().out
+    payload = json.loads(captured[: captured.rindex("}") + 1])
+    assert payload["chunked"] is True
+    assert abs(payload["sim3_scale"] - 0.986986) < 1e-5
+    # Same bars as the in-core GT test (test_fuse_json_with_gt_and_outputs).
+    assert abs(payload["nn_vs_primary"]["ekf"]["rmse_m"] - 0.0839) < 1e-3
+    assert abs(payload["nn_vs_ground_truth"]["ekf"]["rmse_m"] - 0.173) < 2e-3
+
+
 def test_fuse_chunked_rejects_incore_flags(capsys):
     rc = main(
         [

@@ -201,3 +201,55 @@ def test_evaluate_chunked_matches_incore():
                 float(getattr(g, f)), float(getattr(w, f)), atol=1e-9,
                 err_msg=f"{name}.{f}",
             )
+
+
+def test_evaluate_vs_track_chunked_matches_incore():
+    """Streamed GT evaluation (evaluate_vs_track_chunked, VERDICT r3 task 8)
+    ≡ fusion.evaluate_vs_track on the same fused outputs and the same
+    independent track — including the track's own chunk+halo temporal
+    alignment."""
+    (st, sp, sq), (gt, gp, gv) = _scenario(seed=5)
+    cfg = FusionConfig()
+    ref = fusion.fuse_core(
+        jnp.asarray(st), jnp.asarray(sp), jnp.asarray(sq),
+        jnp.asarray(gt), jnp.asarray(gp), jnp.asarray(gv),
+        jax.random.PRNGKey(0), config=cfg,
+    )
+    assert bool(ref.ok)
+    # Independent "ground-truth" track: its own clock, offset positions.
+    rng = np.random.default_rng(99)
+    m = 500
+    tt = np.sort(rng.uniform(st[0], st[-1], m))
+    tp = np.stack([np.interp(tt, st, np.asarray(ref.sim3_pos)[:, k]) for k in range(3)], -1)
+    tp += rng.normal(size=(m, 3)) * 0.02
+    tv = np.ones(m, bool)
+    tv[rng.choice(m, 15, replace=False)] = False
+
+    want, want_al = fusion.evaluate_vs_track(
+        jnp.asarray(st), jnp.asarray(sp), ref,
+        jnp.asarray(tt), jnp.asarray(tp), jnp.asarray(tv), cfg=cfg,
+    )
+
+    res = fusion_chunked.ChunkedFusionResult(
+        corrected_pos=np.asarray(ref.corrected_pos),
+        corrected_quat=np.asarray(ref.corrected_quat),
+        sim3=ref.sim3,
+        aligned_gps=np.asarray(ref.aligned_gps),
+        gps_valid=np.asarray(ref.gps_valid),
+        num_inliers=int(jnp.sum(ref.sim3_inliers)),
+        ok=True,
+    )
+    got, got_al = fusion_chunked.evaluate_vs_track_chunked(
+        st, sp, sq, res, tt, tp, track_valid=tv, cfg=cfg, chunk_size=131
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got_al.valid), np.asarray(want_al.valid)
+    )
+    for name in ("nn_slam", "nn_sim3", "nn_ekf", "ate_sim3", "ate_ekf"):
+        w, g = getattr(want, name), getattr(got, name)
+        assert int(g.count) == int(w.count), name
+        for f in ("mean", "median", "rmse", "max"):
+            np.testing.assert_allclose(
+                float(getattr(g, f)), float(getattr(w, f)), atol=1e-6,
+                err_msg=f"{name}.{f}",
+            )

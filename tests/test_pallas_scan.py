@@ -187,15 +187,23 @@ def test_budget_gate_and_fallback():
 
 
 def test_maybe_pallas_scan_is_noop_on_cpu():
-    """On the CPU test platform the product path must keep lax (Mosaic does
-    not lower on CPU); custom scan_fns are always respected — including
-    identity-bindable ones (seqpar), which must NOT be rebound on CPU."""
-    assert kp._maybe_pallas_scan(jax.lax.associative_scan, (0.0,)) is jax.lax.associative_scan
+    """With a resolved platform of "cpu" the product path must keep lax
+    (Mosaic does not lower on CPU); custom scan_fns are always respected —
+    including identity-bindable ones (seqpar), which must NOT be rebound on
+    CPU. The platform is an explicit argument since round 4 (the r03
+    multichip regression: dispatch keyed on the process default cannot see
+    a mesh on a different platform)."""
+    assert (
+        kp._maybe_pallas_scan(jax.lax.associative_scan, (0.0,), "cpu")
+        is jax.lax.associative_scan
+    )
 
     def custom(fn, elems, reverse=False):
         return elems
 
-    assert kp._maybe_pallas_scan(custom, (0.0,)) is custom
+    assert kp._maybe_pallas_scan(custom, (0.0,), "cpu") is custom
+    # Non-bindable custom scans are respected even off-CPU.
+    assert kp._maybe_pallas_scan(custom, (0.0,), "tpu") is custom
 
     def bindable(fn, elems, reverse=False):
         return elems
@@ -203,7 +211,12 @@ def test_maybe_pallas_scan_is_noop_on_cpu():
     bindable.bind_identity = lambda ident: (_ for _ in ()).throw(
         AssertionError("must not bind on CPU")
     )
-    assert kp._maybe_pallas_scan(bindable, (0.0,)) is bindable
+    assert kp._maybe_pallas_scan(bindable, (0.0,), "cpu") is bindable
+    # Off-CPU the bindable scan IS handed the identity.
+    bound = []
+    bindable.bind_identity = lambda ident: bound.append(ident) or "bound"
+    assert kp._maybe_pallas_scan(bindable, (0.0,), "tpu") == "bound"
+    assert bound == [(0.0,)]
 
 
 @pytest.mark.parametrize("reverse", [False, True])
@@ -248,3 +261,105 @@ def test_seqpar_local_pallas_scan_matches_lax(reverse):
     got = scan(combine, elems, reverse=reverse)
     want = jax.lax.associative_scan(combine, elems, reverse=reverse)
     _assert_tree_close(got, want, rtol=2e-4, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# HBM-tiled grid-carried scan (associative_scan_tiled) — the beyond-VMEM
+# variant (VERDICT r3 task 4). block_rows is forced small so the multi-block
+# carry logic is exercised at interpreter-friendly sizes; the same kernel
+# compiles natively on TPU (bench pallas_scan_tiled_ok).
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("n", [5, 1024, 2500])
+@pytest.mark.parametrize("reverse", [False, True])
+def test_tiled_add_scan_matches_lax(n, reverse):
+    from gps_optimize_slam_tpu.ops.pallas_scan import associative_scan_tiled
+
+    rng = np.random.default_rng(n + int(reverse))
+    x = jnp.asarray(rng.normal(size=n))
+    got = associative_scan_tiled(
+        lambda a, b: a + b, x, 0.0, reverse=reverse, interpret=True, block_rows=8
+    )
+    want = jax.lax.associative_scan(lambda a, b: a + b, x, reverse=reverse)
+    _assert_tree_close(got, want, rtol=1e-8, atol=1e-10)
+
+
+def test_tiled_filter_five_tuple_matches_lax():
+    from gps_optimize_slam_tpu.ops.pallas_scan import associative_scan_tiled
+
+    rng = np.random.default_rng(17)
+    elems = _filter_elems(rng, 2700)  # 3 blocks at block_rows=8
+    got = associative_scan_tiled(
+        kp._combine_filter, elems, kp._FILTER_IDENTITY, interpret=True, block_rows=8
+    )
+    want = jax.lax.associative_scan(kp._combine_filter, elems)
+    _assert_tree_close(got, want, rtol=1e-7, atol=1e-9)
+
+
+def test_tiled_rts_suffix_matches_lax():
+    from gps_optimize_slam_tpu.ops.pallas_scan import associative_scan_tiled
+
+    rng = np.random.default_rng(19)
+    n = 2300
+    E = 0.4 * rng.normal(size=(n, 3, 3))
+    E[-1] = 0.0
+    c = rng.normal(size=(n, 3))
+    Mc = dict(
+        M=tuple(jnp.asarray(E[:, i, j]) for i in range(3) for j in range(3)),
+        c=tuple(jnp.asarray(c[:, i]) for i in range(3)),
+    )
+
+    def combine(earlier, later):
+        M2, c2 = earlier["M"], earlier["c"]
+        M1, c1 = later["M"], later["c"]
+        return dict(M=kp._mmul(M1, M2), c=kp._vadd(kp._mvec(M1, c2), c1))
+
+    got = associative_scan_tiled(
+        combine, Mc, kp._RTS_IDENTITY, reverse=True, interpret=True, block_rows=8
+    )
+    want = jax.lax.associative_scan(combine, Mc, reverse=True)
+    _assert_tree_close(got, want, rtol=1e-8, atol=1e-10)
+
+
+def test_make_scan_fn_routes_over_budget_to_tiled():
+    """An eligible f32 tree BEYOND the VMEM budget must take the tiled
+    kernel (not silently fall back to lax), and match lax — sizes over
+    budget were lax-only before round 4."""
+    from gps_optimize_slam_tpu.ops import pallas_scan as ps
+
+    n = 600_000  # one f32 leaf: > 4MB in+out budget
+    x = jnp.asarray(
+        np.random.default_rng(5).normal(size=n).astype(np.float32) * 1e-3
+    )
+    assert not ps.fits_vmem((x,))
+    scan = ps.make_scan_fn(0.0, interpret=True)
+    log_start = len(ps.DISPATCH_LOG)
+    got = scan(lambda a, b: a + b, x)
+    assert ("vmem_tiled", n) in ps.DISPATCH_LOG[log_start:]
+    want = jax.lax.associative_scan(lambda a, b: a + b, x)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_make_scan_fn_ineligible_trees_fall_back_to_lax():
+    """Mixed-dtype / non-1-D trees must take lax silently (the documented
+    contract) instead of raising inside the kernels (ADVICE r3)."""
+    from gps_optimize_slam_tpu.ops import pallas_scan as ps
+
+    scan = ps.make_scan_fn((0.0, 0.0), interpret=True)
+    log_start = len(ps.DISPATCH_LOG)
+    mixed = (
+        jnp.zeros(300, jnp.float32),
+        jnp.zeros(300, jnp.float64),
+    )
+    out = scan(lambda a, b: tuple(x + y for x, y in zip(a, b)), mixed)
+    assert ps.DISPATCH_LOG[log_start][0] == "lax"
+    assert out[0].shape == (300,)
+
+    scan2 = ps.make_scan_fn(0.0, interpret=True)
+    two_d = jnp.zeros((4, 300), jnp.float32)
+    out2 = scan2(lambda a, b: a + b, two_d)
+    assert ps.DISPATCH_LOG[-1][0] == "lax"
+    assert out2.shape == (4, 300)

@@ -1,0 +1,149 @@
+"""Compile-platform-aware kernel dispatch (the MULTICHIP_r03 regression).
+
+Round 3 shipped a crash the suite could not express: on the driver host the
+process-default backend is a real TPU while ``dryrun_multichip`` compiles
+for a virtual CPU mesh — kernel-dispatch gates keyed on the DEFAULT
+platform then emitted non-interpret Mosaic (Pallas) kernels into
+CPU-compiled programs and XLA aborted with "Only interpret mode is
+supported on CPU backend" (VERDICT r3 weak #1/#2). The suite pins
+JAX_PLATFORMS=cpu, so both oracles agreed and the mixed condition was
+unrepresentable.
+
+These tests make it representable forever: ``utils.backend
+.effective_platform`` is monkeypatched to report "tpu" (simulating the
+driver host's default backend) while everything still executes on the CPU
+mesh — any dispatch decision that consults the process default instead of
+the resolved compile platform now either crashes (Pallas on CPU) or
+compiles the minutes-slow CPU associative path, and the test fails.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gps_optimize_slam_tpu.utils import backend
+
+
+@pytest.fixture
+def spoof_tpu_default(monkeypatch):
+    """Simulate the driver host: process-default oracle says 'tpu' while
+    every device in this suite is CPU."""
+    monkeypatch.setattr(backend, "effective_platform", lambda: "tpu")
+    yield
+
+
+def test_resolve_platform_precedence():
+    from gps_optimize_slam_tpu.parallel import mesh as pmesh
+
+    assert backend.resolve_platform("cpu") == "cpu"
+    assert backend.resolve_platform("tpu") == "tpu"  # explicit always wins
+    m = pmesh.make_mesh(n_devices=4)
+    assert backend.resolve_platform("auto", mesh=m) == "cpu"
+    dev = jax.devices("cpu")[0]
+    assert backend.resolve_platform("auto", devices=[dev]) == "cpu"
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    assert (
+        backend.resolve_platform("auto", sharding=NamedSharding(m, P("seq")))
+        == "cpu"
+    )
+    assert backend.resolve_platform("auto") == backend.effective_platform()
+
+
+def test_resolve_platform_spoofed_fallback(spoof_tpu_default):
+    # With no mesh/devices the boundary falls back to the (spoofed) oracle —
+    # and a mesh overrides it.
+    from gps_optimize_slam_tpu.parallel import mesh as pmesh
+
+    assert backend.resolve_platform("auto") == "tpu"
+    assert backend.resolve_platform("auto", mesh=pmesh.make_mesh(n_devices=2)) == "cpu"
+
+
+def test_dryrun_multichip_under_spoofed_tpu_default(spoof_tpu_default):
+    """THE r03 regression test: the full driver artifact must survive a
+    TPU-default process + CPU mesh. Before the round-4 fix this crashed in
+    sim3_ransac's Pallas consensus kernel at lowering."""
+    import __graft_entry__
+
+    __graft_entry__.dryrun_multichip(4)
+
+
+def test_fuse_batch_on_cpu_mesh_under_spoofed_tpu_default(spoof_tpu_default):
+    """fuse_batch with an explicit CPU mesh must resolve every dispatch knob
+    against the MESH (sequential scan, jnp RANSAC counts, jnp NN) — not the
+    spoofed 'tpu' default."""
+    import __graft_entry__
+    from gps_optimize_slam_tpu.parallel import batch as pbatch
+    from gps_optimize_slam_tpu.parallel import mesh as pmesh
+
+    mesh = pmesh.make_mesh(n_devices=4)
+    slams, gts, gps_list, valids = [], [], [], []
+    for i in range(4):
+        st, sp, sq, gt, gp, gv = __graft_entry__._synthetic_sequence(
+            n_poses=40, n_gps=24, seed=i
+        )
+        slams.append({"timestamps": st, "positions": sp, "quaternions": sq})
+        gts.append(gt)
+        gps_list.append(gp)
+        valids.append(gv)
+    b = pbatch.pad_batch(slams, gts, gps_list, valids)
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        keys = np.asarray(jax.vmap(jax.random.PRNGKey)(jnp.arange(4)))
+    out = pmesh.fuse_batch(b, keys, mesh=mesh, dtype=jnp.float32)
+    jax.block_until_ready(out.corrected_pos)
+    assert bool(np.asarray(out.ok).all())
+    ev = pmesh.evaluate_batch(b, out)
+    assert np.isfinite(np.asarray(ev.ate_ekf.rmse)).all()
+
+
+def test_fuse_core_explicit_platform_overrides_oracle(spoof_tpu_default):
+    """A caller-resolved config.platform='cpu' must beat the spoofed oracle
+    even on the direct (non-mesh) fuse_core path."""
+    import __graft_entry__
+    from gps_optimize_slam_tpu.config import FusionConfig
+    from gps_optimize_slam_tpu.models import fusion
+
+    st, sp, sq, gt, gp, gv = __graft_entry__._synthetic_sequence()
+    out = fusion.fuse_core(
+        jnp.asarray(st), jnp.asarray(sp), jnp.asarray(sq),
+        jnp.asarray(gt), jnp.asarray(gp), jnp.asarray(gv),
+        jax.random.PRNGKey(0),
+        config=FusionConfig(platform="cpu"),
+    )
+    assert bool(out.ok)
+
+
+def test_no_default_oracle_calls_outside_backend():
+    """`effective_platform()` must survive only inside utils.backend — every
+    other module accepts a resolved platform and resolves 'auto' via
+    resolve_platform at an explicit boundary (VERDICT r3 task 2's grep)."""
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parents[1] / "gps_optimize_slam_tpu"
+    offenders = []
+    for py in root.rglob("*.py"):
+        if py.name == "backend.py":
+            continue
+        if "effective_platform" in py.read_text():
+            offenders.append(str(py))
+    assert not offenders, f"process-default oracle used outside backend: {offenders}"
+
+
+def test_seqpar_bind_identity_refuses_cpu_mesh():
+    """parallel.seqpar's bind_identity must keep the lax local scan on CPU
+    meshes regardless of what the caller's platform gate decided (belt and
+    braces for external scan_fn consumers)."""
+    from gps_optimize_slam_tpu.ops.kalman_parallel import _QUAT_IDENTITY
+    from gps_optimize_slam_tpu.parallel import mesh as pmesh
+    from gps_optimize_slam_tpu.parallel import seqpar
+
+    mesh = pmesh.make_mesh(n_devices=4)
+    scan_fn = seqpar.sequence_parallel_scan(mesh)
+    bound = scan_fn.bind_identity(_QUAT_IDENTITY)
+    assert bound is scan_fn  # unbound: lax local scan
+    # interpret=True is the test hook and is allowed to bind.
+    bound_i = scan_fn.bind_identity(_QUAT_IDENTITY, interpret=True)
+    assert bound_i is not scan_fn

@@ -1,4 +1,7 @@
-import sys; sys.path.insert(0, "/root/repo")
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np, jax, jax.numpy as jnp
 from gps_optimize_slam_tpu.ops.pallas_scan import associative_scan_vmem
 from gps_optimize_slam_tpu.ops import kalman_parallel as kp
