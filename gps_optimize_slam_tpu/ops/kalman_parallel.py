@@ -116,20 +116,25 @@ def _meye_plus(m):
 
 
 def _maybe_pallas_scan(scan_fn, identity, platform: str):
-    """Swap the DEFAULT scan for the single-kernel Pallas ladder off-CPU.
+    """Swap the DEFAULT scan for a platform-appropriate implementation.
 
     ``lax.associative_scan`` lowers to ~2·log₂N separate fusion rounds; at
     these trajectory sizes the scans are round-bound, not FLOP-bound (the
     three Kalman scans measure ~3.7 ms of the all-KITTI fused program while
-    moving ~5 MB). ``ops.pallas_scan`` runs the whole ladder as ONE kernel
-    with the leaves VMEM-resident; it needs the combine's identity element,
-    so the swap happens here where each scan's identity is known. A
-    caller-provided scan_fn (e.g. parallel.seqpar's cross-device block
+    moving ~5 MB). Off-CPU, ``ops.pallas_scan`` runs the whole ladder as
+    ONE kernel with the leaves VMEM-resident (the tiled HBM kernel beyond
+    budget, lax for f64/non-1-D trees). On CPU the same unroll is a
+    COMPILE-time disaster instead — XLA:CPU takes minutes on ~28 inlined
+    copies of the 27-leaf combine — so the swap target is
+    ``associative_scan_fori`` (the ladder as one fori_loop body, compiled
+    once). Both need the combine's identity element, so the swap happens
+    here where each scan's identity is known.
+
+    A caller-provided scan_fn (e.g. parallel.seqpar's cross-device block
     scan) is respected — if it advertises ``bind_identity`` (seqpar does),
-    it is handed the identity so its per-device LOCAL scans can run the
-    same single-kernel ladder. The Pallas wrapper itself picks the VMEM
-    ladder within budget, the HBM-tiled grid-carried kernel beyond it
-    (131k-pose chunks), and falls back to lax for f64/non-1-D trees.
+    it is handed the identity so its per-device LOCAL scans get the same
+    treatment; the binder guards Pallas against its OWN mesh's platform
+    (the only oracle that sees the shard_map target).
 
     ``platform`` is the RESOLVED compile platform (never "auto") — the
     caller resolves it against the devices the program will actually
@@ -140,11 +145,13 @@ def _maybe_pallas_scan(scan_fn, identity, platform: str):
     """
     if scan_fn is not jax.lax.associative_scan:
         bind = getattr(scan_fn, "bind_identity", None)
-        if bind is None or platform == "cpu":
+        if bind is None:
             return scan_fn
         return bind(identity)
     if platform == "cpu":
-        return scan_fn
+        from gps_optimize_slam_tpu.ops.pallas_scan import make_fori_scan
+
+        return make_fori_scan(identity)
     from gps_optimize_slam_tpu.ops.pallas_scan import make_scan_fn
 
     return make_scan_fn(identity)

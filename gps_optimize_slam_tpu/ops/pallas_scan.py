@@ -38,8 +38,13 @@ chunks), :func:`associative_scan_tiled` runs the same computation as one
 HBM-resident kernel: (block_rows, 128) tiles stream through the grid
 (sequential on TPU) with the running composite carried in a VMEM scratch —
 the cross-block decomposition parallel.seqpar uses across devices, within
-one kernel. Callers fall back to lax.associative_scan on CPU or for
-non-f32/non-1-D trees (make_scan_fn gates all of this).
+one kernel. Callers fall back to lax.associative_scan for non-f32/non-1-D
+trees (make_scan_fn gates all of this). On CPU the swap target is
+:func:`associative_scan_fori` instead — the same Hillis-Steele ladder as a
+``lax.fori_loop`` whose body XLA compiles ONCE, because
+``lax.associative_scan``'s unrolled ~2·log₂N combine copies make XLA:CPU
+compiles of the 27-leaf filter combine take minutes (it is a compile-time
+fallback, not a runtime one: CPU is the test/dryrun platform here).
 """
 
 from __future__ import annotations
@@ -364,6 +369,87 @@ def associative_scan_tiled(
     )(*padded)
     flat = [o.reshape(n_pad)[:n] for o in outs]
     return jax.tree.unflatten(treedef, flat)
+
+
+def associative_scan_fori(combine, elems, identity, reverse: bool = False):
+    """``lax.associative_scan(combine, elems, reverse=...)`` as a
+    Hillis-Steele ladder driven by ONE ``lax.fori_loop``.
+
+    ``lax.associative_scan`` UNROLLS its recursion: the combine body is
+    inlined ~2·log₂N times into the HLO, and XLA:CPU's compile time on the
+    27-leaf Kalman filter combine then runs to MINUTES per program (the
+    dominant cost of the CPU test suite and the virtual-mesh dryruns). Here
+    the ladder step is a loop body traced and compiled ONCE: at step d each
+    element combines with the element 2^d before it (after it, when
+    ``reverse``), boundary positions receiving the two-sided ``identity``
+    so no output select is needed (combine(id, x) == x).
+
+    O(N·log₂N) work instead of lax's O(N) — the right trade on CPU where
+    programs are compile-bound, wrong on TPU where the single-kernel Pallas
+    ladders (above) already collapse the rounds. Argument order matches lax
+    exactly: the accumulated composite arrives FIRST both directions (the
+    larger-k suffix composite first under ``reverse``).
+
+    ``identity``: pytree of Python scalars matching ``elems``' structure —
+    the combine's two-sided identity (same contract as
+    :func:`associative_scan_vmem`). Works for any leaf ndim/dtype with a
+    shared leading length (the scan axis is axis 0).
+    """
+    leaves, treedef = jax.tree.flatten(elems)
+    idents = [float(x) for x in jax.tree.leaves(identity)]
+    if len(idents) != len(leaves):
+        raise ValueError("identity tree does not match elems tree")
+    n = leaves[0].shape[0]
+    if n < 2:
+        return elems
+    steps = (n - 1).bit_length()  # ceil(log2(n)); max offset 2^(steps-1) < n
+
+    def _shifted(x, ident, offset):
+        """x shifted by ``offset`` along axis 0 toward the scan direction,
+        identity-filled at the boundary: forward → s[i] = x[i-offset] for
+        i ≥ offset; reverse → s[i] = x[i+offset] for i < n-offset."""
+        blk = jnp.full(x.shape, ident, x.dtype)
+        # Inside shard_map the identity block must be marked varying over
+        # the operand's manual axes before concatenation (see _ident_fill).
+        vma = getattr(jax.typeof(x), "vma", None)
+        if vma:
+            blk = jax.lax.pcast(blk, tuple(vma), to="varying")
+        if reverse:
+            cat = jnp.concatenate([x, blk], axis=0)
+            start = offset
+        else:
+            cat = jnp.concatenate([blk, x], axis=0)
+            start = n - offset
+        starts = (start,) + (0,) * (x.ndim - 1)
+        return jax.lax.dynamic_slice(cat, starts, x.shape)
+
+    def body(d, xs):
+        offset = jnp.int32(1) << d
+        shifted = [_shifted(x, idents[i], offset) for i, x in enumerate(xs)]
+        out = combine(
+            jax.tree.unflatten(treedef, shifted),
+            jax.tree.unflatten(treedef, list(xs)),
+        )
+        return tuple(jax.tree.leaves(out))
+
+    out = jax.lax.fori_loop(0, steps, body, tuple(leaves))
+    return jax.tree.unflatten(treedef, list(out))
+
+
+def make_fori_scan(identity):
+    """A drop-in for ``lax.associative_scan`` bound to ``identity`` that
+    always runs :func:`associative_scan_fori` — the compile-cheap CPU scan
+    kalman_parallel._maybe_pallas_scan and parallel.seqpar swap in when the
+    resolved platform is "cpu". Dispatch decisions are appended to
+    :data:`DISPATCH_LOG` as ``("fori", n)``."""
+
+    def scan(combine, elems, reverse: bool = False):
+        n = jax.tree.leaves(elems)[0].shape[0]
+        DISPATCH_LOG.append(("fori", n))
+        return associative_scan_fori(combine, elems, identity, reverse=reverse)
+
+    scan.interpret = False
+    return scan
 
 
 def fits_vmem(elems) -> bool:

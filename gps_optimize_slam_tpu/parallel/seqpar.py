@@ -53,7 +53,8 @@ def _block_scan(combine, elems, axis_name: str, reverse: bool, local_scan):
     prefix (suffix when ``reverse``) into the local results. Blocks at the
     global boundary keep their local results unchanged (no identity element
     needs constructing). ``local_scan`` is the per-device scan — lax by
-    default; the single-kernel VMEM ladder (ops.pallas_scan) when the
+    default; the single-kernel VMEM ladder (ops.pallas_scan) on TPU meshes,
+    or the compile-cheap fori ladder on CPU meshes, when the
     caller bound an identity via :func:`sequence_parallel_scan`'s
     ``bind_identity`` (the cross-device block-total scan below stays lax:
     D elements, trivially cheap)."""
@@ -138,14 +139,19 @@ def sequence_parallel_scan(
     def bind_identity(identity, interpret: bool = False):
         # Guard on the MESH's platform, which is what the shard_map body
         # compiles for — NOT the process default (the class of bug behind
-        # MULTICHIP_r03): a CPU mesh under a TPU-default process must keep
-        # the lax local scan (non-interpret Mosaic kernels cannot lower on
-        # XLA:CPU). Callers (_maybe_pallas_scan) already gate on their
-        # resolved platform; this makes the scan_fn safe for any caller.
+        # MULTICHIP_r03): on a CPU mesh under a TPU-default process the
+        # Pallas ladder must NOT bind (non-interpret Mosaic kernels cannot
+        # lower on XLA:CPU); the local scans run associative_scan_fori
+        # instead (one fori_loop body — lax.associative_scan's unrolled
+        # combine copies cost XLA:CPU minutes of compile per program).
         if not interpret:
             platform = next(iter(mesh.devices.flat)).platform
             if platform == "cpu":
-                return scan_fn
+                from gps_optimize_slam_tpu.ops.pallas_scan import make_fori_scan
+
+                return sequence_parallel_scan(
+                    mesh, axis_name, local_scan=make_fori_scan(identity)
+                )
         from gps_optimize_slam_tpu.ops.pallas_scan import make_scan_fn
 
         return sequence_parallel_scan(

@@ -186,17 +186,23 @@ def test_budget_gate_and_fallback():
     np.testing.assert_allclose(np.asarray(out[0]), np.arange(1, 11))
 
 
-def test_maybe_pallas_scan_is_noop_on_cpu():
-    """With a resolved platform of "cpu" the product path must keep lax
-    (Mosaic does not lower on CPU); custom scan_fns are always respected —
-    including identity-bindable ones (seqpar), which must NOT be rebound on
-    CPU. The platform is an explicit argument since round 4 (the r03
-    multichip regression: dispatch keyed on the process default cannot see
-    a mesh on a different platform)."""
-    assert (
-        kp._maybe_pallas_scan(jax.lax.associative_scan, (0.0,), "cpu")
-        is jax.lax.associative_scan
-    )
+def test_maybe_pallas_scan_dispatch():
+    """With a resolved platform of "cpu" the product path must swap in the
+    fori-loop ladder (associative_scan_fori) — Mosaic does not lower on CPU
+    and lax.associative_scan's unrolled combines cost XLA:CPU minutes of
+    compile. Non-bindable custom scan_fns are always respected; bindable
+    ones (seqpar) are handed the identity on EVERY platform — the binder
+    guards Pallas against its own mesh. The platform is an explicit
+    argument since round 4 (the r03 multichip regression: dispatch keyed on
+    the process default cannot see a mesh on a different platform)."""
+    import gps_optimize_slam_tpu.ops.pallas_scan as ps
+
+    cpu_scan = kp._maybe_pallas_scan(jax.lax.associative_scan, (0.0,), "cpu")
+    assert cpu_scan is not jax.lax.associative_scan
+    log_start = len(ps.DISPATCH_LOG)
+    out = cpu_scan(lambda a, b: (a[0] + b[0],), (jnp.ones(10),))
+    assert ps.DISPATCH_LOG[log_start:] == [("fori", 10)]
+    np.testing.assert_allclose(np.asarray(out[0]), np.arange(1, 11))
 
     def custom(fn, elems, reverse=False):
         return elems
@@ -208,15 +214,64 @@ def test_maybe_pallas_scan_is_noop_on_cpu():
     def bindable(fn, elems, reverse=False):
         return elems
 
-    bindable.bind_identity = lambda ident: (_ for _ in ()).throw(
-        AssertionError("must not bind on CPU")
-    )
-    assert kp._maybe_pallas_scan(bindable, (0.0,), "cpu") is bindable
-    # Off-CPU the bindable scan IS handed the identity.
+    # Bindable scans are handed the identity on BOTH platforms; the binder
+    # owns the Pallas-vs-fori choice (it alone sees the shard_map mesh).
     bound = []
     bindable.bind_identity = lambda ident: bound.append(ident) or "bound"
+    assert kp._maybe_pallas_scan(bindable, (0.0,), "cpu") == "bound"
     assert kp._maybe_pallas_scan(bindable, (0.0,), "tpu") == "bound"
-    assert bound == [(0.0,)]
+    assert bound == [(0.0,), (0.0,)]
+
+
+# ---------------------------------------------------------------------------
+# Fori-loop ladder (associative_scan_fori) — the CPU-platform swap target.
+# Parity against lax on the same combines the VMEM kernel covers.
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("n", [1, 2, 5, 517, 2048])
+@pytest.mark.parametrize("reverse", [False, True])
+def test_fori_add_scan_matches_lax(n, reverse):
+    from gps_optimize_slam_tpu.ops.pallas_scan import associative_scan_fori
+
+    rng = np.random.default_rng(n + int(reverse))
+    x = jnp.asarray(rng.normal(size=n))
+    got = associative_scan_fori(lambda a, b: a + b, x, 0.0, reverse=reverse)
+    want = jax.lax.associative_scan(lambda a, b: a + b, x, reverse=reverse)
+    _assert_tree_close(got, want)
+
+
+def test_fori_filter_five_tuple_matches_lax():
+    from gps_optimize_slam_tpu.ops.pallas_scan import associative_scan_fori
+
+    rng = np.random.default_rng(11)
+    elems = _filter_elems(rng, 400)
+    got = associative_scan_fori(kp._combine_filter, elems, kp._FILTER_IDENTITY)
+    want = jax.lax.associative_scan(kp._combine_filter, elems)
+    _assert_tree_close(got, want, rtol=1e-8, atol=1e-10)
+
+
+def test_fori_rts_suffix_matches_lax():
+    from gps_optimize_slam_tpu.ops.pallas_scan import associative_scan_fori
+
+    rng = np.random.default_rng(13)
+    n = 350
+    E = 0.4 * rng.normal(size=(n, 3, 3))
+    E[-1] = 0.0
+    c = rng.normal(size=(n, 3))
+    Mc = dict(
+        M=tuple(jnp.asarray(E[:, i, j]) for i in range(3) for j in range(3)),
+        c=tuple(jnp.asarray(c[:, i]) for i in range(3)),
+    )
+
+    def combine(earlier, later):
+        M2, c2 = earlier["M"], earlier["c"]
+        M1, c1 = later["M"], later["c"]
+        return dict(M=kp._mmul(M1, M2), c=kp._vadd(kp._mvec(M1, c2), c1))
+
+    got = associative_scan_fori(combine, Mc, kp._RTS_IDENTITY, reverse=True)
+    want = jax.lax.associative_scan(combine, Mc, reverse=True)
+    _assert_tree_close(got, want, rtol=1e-9, atol=1e-11)
 
 
 @pytest.mark.parametrize("reverse", [False, True])

@@ -132,10 +132,14 @@ def test_no_default_oracle_calls_outside_backend():
     assert not offenders, f"process-default oracle used outside backend: {offenders}"
 
 
-def test_seqpar_bind_identity_refuses_cpu_mesh():
-    """parallel.seqpar's bind_identity must keep the lax local scan on CPU
-    meshes regardless of what the caller's platform gate decided (belt and
-    braces for external scan_fn consumers)."""
+def test_seqpar_bind_identity_refuses_pallas_on_cpu_mesh():
+    """parallel.seqpar's bind_identity must never bind the Pallas ladder on
+    CPU meshes regardless of what the caller's platform gate decided (belt
+    and braces for external scan_fn consumers) — the CPU binding is the
+    compile-cheap fori ladder instead."""
+    import numpy as np
+
+    import gps_optimize_slam_tpu.ops.pallas_scan as ps
     from gps_optimize_slam_tpu.ops.kalman_parallel import _QUAT_IDENTITY
     from gps_optimize_slam_tpu.parallel import mesh as pmesh
     from gps_optimize_slam_tpu.parallel import seqpar
@@ -143,7 +147,37 @@ def test_seqpar_bind_identity_refuses_cpu_mesh():
     mesh = pmesh.make_mesh(n_devices=4)
     scan_fn = seqpar.sequence_parallel_scan(mesh)
     bound = scan_fn.bind_identity(_QUAT_IDENTITY)
-    assert bound is scan_fn  # unbound: lax local scan
-    # interpret=True is the test hook and is allowed to bind.
+    assert bound is not scan_fn
+    log_start = len(ps.DISPATCH_LOG)
+    ident = {"a": 1.0, "b": 0.0, "c": 0.0, "d": 1.0}
+    bound4 = scan_fn.bind_identity(ident)
+    n = 4 * 8
+    rng = np.random.default_rng(5)
+    m = np.eye(2)[None] + 0.02 * rng.normal(size=(n, 2, 2))
+    elems = {
+        "a": jnp.asarray(m[:, 0, 0]),
+        "b": jnp.asarray(m[:, 0, 1]),
+        "c": jnp.asarray(m[:, 1, 0]),
+        "d": jnp.asarray(m[:, 1, 1]),
+    }
+
+    def combine(e, l):
+        return {
+            "a": l["a"] * e["a"] + l["b"] * e["c"],
+            "b": l["a"] * e["b"] + l["b"] * e["d"],
+            "c": l["c"] * e["a"] + l["d"] * e["c"],
+            "d": l["c"] * e["b"] + l["d"] * e["d"],
+        }
+
+    got = bound4(combine, elems)
+    want = jax.lax.associative_scan(combine, elems)
+    for a, b in zip(jax.tree.leaves(got), jax.tree.leaves(want)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-8)
+    dispatches = ps.DISPATCH_LOG[log_start:]
+    # The local scans ran the fori ladder; the Pallas VMEM kernel never
+    # bound (it cannot lower on XLA:CPU — the r03 regression class).
+    assert any(impl == "fori" for impl, _ in dispatches), dispatches
+    assert not any(impl == "vmem" for impl, _ in dispatches), dispatches
+    # interpret=True is the test hook and binds the (interpreted) kernel.
     bound_i = scan_fn.bind_identity(_QUAT_IDENTITY, interpret=True)
     assert bound_i is not scan_fn
