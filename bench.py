@@ -527,6 +527,15 @@ def ransac_flip_section(jax, jnp, n_keys=100):
         "ransac_count_flip_rate": flip_rate,
         "ransac_refit_max_dev_m": dev,
         "ransac_flip_keys": n_keys,
+        # Interpretation context: the measurement deliberately injects sigma=2 m
+        # noise against the consensus threshold so residuals straddle the
+        # boundary (worst case for count nondeterminism). A flipped winner is a
+        # DIFFERENT valid consensus set on that noise, so refit deltas are
+        # bounded by the noise scale, not a kernel error; on production data
+        # the fused TPU run (Pallas counts) matches the exact-count f64 CPU
+        # cross-check to max_dev_vs_f64_m (~1e-4 m on seq-04).
+        "ransac_flip_noise_sigma_m": 2.0,
+        "ransac_flip_threshold_m": float(cfg.sim3_ransac.residual_threshold),
     }
 
 
