@@ -203,64 +203,76 @@ def scale_section(jax, jnp, sequences, dtype, label):
 def pallas_nn_section(jax, jnp, n=23201, m=23900):
     """Compile (NOT interpret) and run the Pallas tiled NN kernel at
     all-KITTI scale on this platform, assert parity against the jnp path,
-    and report its sustained device time (VERDICT r2 task 2)."""
-    from gps_optimize_slam_tpu.ops import metrics
+    and report its sustained device time (VERDICT r2 task 2) in TWO data
+    regimes: the production shape (trajectory vs trajectory — spatially
+    coherent, where the kernel's AABB tile pruning engages) and the
+    isotropic-cloud worst case (pruning provably can't skip anything;
+    this is the regime BENCH_r01-r03 recorded as pallas_nn_device_ms)."""
     from gps_optimize_slam_tpu.ops.pallas_kernels import nn_min_dist2
 
     rng = np.random.default_rng(0)
-    traj = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32) * 100)
-    cands = jnp.asarray(rng.normal(size=(m, 3)).astype(np.float32) * 100)
-    mask = jnp.asarray(rng.random(m) > 0.1)
+    cloud_t = rng.normal(size=(n, 3)).astype(np.float32) * 100
+    cloud_c = rng.normal(size=(m, 3)).astype(np.float32) * 100
+    steps = rng.normal(size=(m, 3)).astype(np.float32)
+    steps[:, 2] *= 0.05
+    walk_c = np.cumsum(steps, axis=0)
+    walk_t = walk_c[:n] + rng.normal(scale=0.1, size=(n, 3)).astype(np.float32)
+    mask_h = rng.random(m) > 0.1
+    mask = jnp.asarray(mask_h)
 
-    out = nn_min_dist2(traj, cands, mask)  # Mosaic compile + run
-    out.block_until_ready()
-
-    # Parity vs the fused jnp formulation, evaluated in row chunks (the
-    # full (N, M) matrix is exactly what the kernel exists to avoid).
-    c = 4096
-    ok = True
-    max_dev = 0.0
-    for i in range(0, n, c):
-        d2 = jnp.sum((traj[i : i + c, None, :] - cands[None, :, :]) ** 2, -1)
-        d2 = jnp.where(mask[None, :], d2, jnp.inf)
-        ref = jnp.min(d2, axis=1)
-        dev = float(jnp.max(jnp.abs(out[i : i + c] - ref)))
-        max_dev = max(max_dev, dev)
-        ok &= dev <= 1e-3
-    # Sustained device time: differential chained timing (see
-    # _chained_device_ms) — (T(2K) − T(K)) / K cancels the dispatch RTT.
+    out: dict = {"pallas_nn_ok": True, "pallas_nn_points": n}
     K = 20
+    for label, traj_h, cands_h in (
+        ("", cloud_t, cloud_c),
+        ("traj_", walk_t, walk_c),
+    ):
+        traj = jnp.asarray(traj_h)
+        cands = jnp.asarray(cands_h)
+        got = nn_min_dist2(traj, cands, mask)  # Mosaic compile + run
+        got = np.asarray(got)
 
-    def make(n_iters):
-        @jax.jit
-        def chained(t0):
-            def body(i, acc):
-                d = nn_min_dist2(t0 + acc * 0, cands, mask)
-                return acc + d[i]
+        # Parity vs the fused jnp formulation, evaluated in row chunks (the
+        # full (N, M) matrix is exactly what the kernel exists to avoid).
+        c = 4096
+        max_dev = 0.0
+        for i in range(0, n, c):
+            d2 = jnp.sum((traj[i : i + c, None, :] - cands[None, :, :]) ** 2, -1)
+            d2 = jnp.where(mask[None, :], d2, jnp.inf)
+            ref = jnp.min(d2, axis=1)
+            max_dev = max(max_dev, float(jnp.max(jnp.abs(got[i : i + c] - ref))))
+        out["pallas_nn_ok"] = bool(out["pallas_nn_ok"]) and max_dev <= 1e-3
+        out[f"pallas_nn_{label}max_dev"] = max_dev
 
-            return jax.lax.fori_loop(0, n_iters, body, jnp.zeros((), jnp.float32))
+        # Sustained device time: differential chained timing (see
+        # _chained_device_ms) — (T(2K) − T(K)) / K cancels the dispatch RTT.
+        # The +i*1e-6 nudge keeps the kernel loop-carried so XLA cannot
+        # hoist it out of the fori_loop.
+        def make(n_iters):
+            @jax.jit
+            def chained(t0):
+                def body(i, t):
+                    d = nn_min_dist2(t + i * 1e-6, cands, mask)
+                    return t + 1e-12 * d[:, None]
 
-        return chained
+                return jax.lax.fori_loop(0, n_iters, body, t0)
 
-    f1, f2 = make(K), make(2 * K)
-    np.asarray(f1(traj))
-    np.asarray(f2(traj))
-    t1s, t2s = [], []
-    for _ in range(5):
-        t0 = time.perf_counter()
+            return chained
+
+        f1, f2 = make(K), make(2 * K)
         np.asarray(f1(traj))
-        t1s.append((time.perf_counter() - t0) * 1e3)
-        t0 = time.perf_counter()
         np.asarray(f2(traj))
-        t2s.append((time.perf_counter() - t0) * 1e3)
-    return {
-        "pallas_nn_ok": bool(ok),
-        "pallas_nn_max_dev": max_dev,
-        "pallas_nn_device_ms": round(
+        t1s, t2s = [], []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            np.asarray(f1(traj))
+            t1s.append((time.perf_counter() - t0) * 1e3)
+            t0 = time.perf_counter()
+            np.asarray(f2(traj))
+            t2s.append((time.perf_counter() - t0) * 1e3)
+        out[f"pallas_nn_{label}device_ms"] = round(
             (float(np.median(t2s)) - float(np.median(t1s))) / K, 2
-        ),
-        "pallas_nn_points": n,
-    }
+        )
+    return out
 
 
 def pallas_scan_section(jax, jnp, n=4661):

@@ -116,3 +116,71 @@ def test_ransac_counts_matches_reference():
     # And on a comfortable margin the counts must be exact.
     exact = slack == 0
     np.testing.assert_array_equal(got[exact], want[exact])
+
+
+def test_nn_pruning_exact_on_trajectory():
+    """Spatial pruning must engage on trajectory-shaped data (boxes far from
+    the query segment get skipped) while the result stays EXACT — the tile
+    containing each true NN is provably never skipped."""
+    from gps_optimize_slam_tpu.ops.pallas_kernels import _tile_keep_mask
+
+    rng = np.random.default_rng(7)
+    m = 2100
+    steps = rng.normal(size=(m, 3)).astype(np.float32)
+    steps[:, 2] *= 0.05
+    cands = np.cumsum(steps, axis=0)  # self-crossing random walk
+    traj = cands[:2000] + rng.normal(scale=0.1, size=(2000, 3)).astype(np.float32)
+    mask = rng.random(m) > 0.1
+
+    d2 = np.asarray(
+        nn_min_dist2(
+            jnp.asarray(traj), jnp.asarray(cands), jnp.asarray(mask), interpret=True
+        )
+    )
+    ref = np.min(
+        np.where(
+            mask[None, :],
+            ((traj[:, None, :].astype(np.float64) - cands[None, :, :]) ** 2).sum(-1),
+            np.inf,
+        ),
+        axis=1,
+    )
+    np.testing.assert_allclose(d2, ref, rtol=1e-4, atol=1e-4)
+
+    # The keep mask must actually prune (trajectories are spatially coherent)
+    # — this is what makes the kernel sub-2 ms at all-KITTI scale on TPU.
+    n_pad = ((2000 + 255) // 256) * 256
+    m_pad = ((m + 511) // 512) * 512
+    tp = np.concatenate([traj, np.broadcast_to(traj[-1:], (n_pad - 2000, 3))])
+    cp = np.zeros((m_pad, 3), np.float32)
+    cp[:m] = cands
+    vm = np.zeros(m_pad, bool)
+    vm[:m] = mask
+    keep = np.asarray(
+        _tile_keep_mask(jnp.asarray(tp), jnp.asarray(cp), jnp.asarray(vm))
+    )
+    assert keep.mean() < 0.9, keep.mean()
+
+
+def test_nn_morton_sort_parity_on_shuffled_candidates():
+    """sort_candidates=True must be a pure (exact) reordering, verified on a
+    spatially shuffled candidate set where the sort actually moves rows."""
+    rng = np.random.default_rng(11)
+    traj = rng.normal(size=(300, 3)).astype(np.float32) * 40
+    cands = rng.normal(size=(411, 3)).astype(np.float32) * 40
+    mask = rng.random(411) > 0.3
+    got = np.asarray(
+        nn_min_dist2(
+            jnp.asarray(traj), jnp.asarray(cands), jnp.asarray(mask),
+            interpret=True, sort_candidates=True,
+        )
+    )
+    ref = np.min(
+        np.where(
+            mask[None, :],
+            ((traj[:, None, :] - cands[None, :, :]) ** 2).sum(-1),
+            np.inf,
+        ),
+        axis=1,
+    )
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-3)
