@@ -171,16 +171,16 @@ def _cmd_fuse(args) -> int:
 def _cmd_fuse_chunked(args, config, frame) -> int:
     """Out-of-core fusion path of `fuse --chunked`: trajectories larger than
     device memory stream through O(chunk)-resident device programs
-    (pipeline.fuse_files_chunked). GT comparison streams too
-    (fusion_chunked.evaluate_vs_track_chunked); robust gating / plotting
-    remain in-core features — reject their combination explicitly."""
+    (pipeline.fuse_files_chunked). GT comparison and χ² robust gating
+    stream too (fusion_chunked.evaluate_vs_track_chunked,
+    models.robust.fuse_robust_chunked); plotting remains an in-core
+    feature — reject its combination explicitly."""
     import numpy as np
 
     from gps_optimize_slam_tpu import pipeline
     from gps_optimize_slam_tpu.io import tum as tum_io
 
-    for flag, name in [(args.robust, "--robust"),
-                       (args.plot, "--plot"), (args.show, "--show")]:
+    for flag, name in [(args.plot, "--plot"), (args.show, "--show")]:
         if flag:
             print(f"{name} is not supported with --chunked (in-core feature)",
                   file=sys.stderr)
@@ -193,6 +193,9 @@ def _cmd_fuse_chunked(args, config, frame) -> int:
         seed=args.seed,
         chunk_size=args.chunk_size,
         gt_path=args.gt,
+        robust=args.robust,
+        robust_gate_chi2=args.robust_gate,
+        robust_iterations=args.robust_iters,
     )
     if args.json:
         def stats(s):
@@ -222,6 +225,11 @@ def _cmd_fuse_chunked(args, config, frame) -> int:
                 "ekf": stats(ev.ate_ekf),
             },
         }
+        if res.result.robust_accepted is not None:
+            racc = np.asarray(res.result.robust_accepted)
+            gv = np.asarray(res.result.gps_valid)
+            out["robust_accepted"] = int(racc.sum())
+            out["robust_rejected"] = int((~racc & gv).sum())
         if res.gt_evaluation is not None:
             gt_ev = res.gt_evaluation
             out["nn_vs_ground_truth"] = {

@@ -34,6 +34,10 @@ class ChunkedFusionResult(NamedTuple):
     gps_valid: np.ndarray  # (N,)
     num_inliers: int
     ok: bool
+    # χ²-gated robust fusion (models.robust.fuse_robust_chunked), when
+    # requested: the measurements that survived the gate (None otherwise;
+    # corrected_pos/quat then hold the robust trajectory).
+    robust_accepted: Optional[np.ndarray] = None
 
 
 @lru_cache(maxsize=8)
@@ -405,6 +409,9 @@ def fuse_core_chunked(
     out_quat: Optional[np.ndarray] = None,
     return_sim3_trajectory: bool = False,
     scan_fn=None,
+    robust: bool = False,
+    robust_gate_chi2: Optional[float] = None,
+    robust_iterations: int = 2,
 ):
     """Full fusion of one arbitrarily long sequence from RAW GNSS.
 
@@ -427,6 +434,11 @@ def fuse_core_chunked(
     ``scan_fn`` (``parallel.seqpar.sequence_parallel_scan(mesh)``) shards
     each chunk's filter scans over a device mesh — host chunks × device
     blocks; pick ``chunk_size = k·D − 1`` (see kalman_chunked).
+
+    ``robust=True`` replaces stage 4 with the χ²-NIS-gated filter
+    (models.robust.fuse_robust_chunked — the >HBM form of BASELINE
+    config 4); the result's ``robust_accepted`` records the surviving
+    measurements.
     """
     if key is None:
         key = jax.random.PRNGKey(0)
@@ -485,24 +497,54 @@ def fuse_core_chunked(
         dtype=dtype,
     )
 
-    out_pos, out_quat = kalman_chunked.fuse_ekf_rts_chunked(
-        slam_times,
-        slam_pos,
-        slam_quat,
-        p0[0],
-        q0[0],
-        aligned,
-        valid,
-        ekf_cfg=config.ekf,
-        rts_cfg=config.rts_decision,
-        rts_mode=config.rts_mode,
-        chunk_size=chunk_size,
-        dtype=dtype,
-        out_pos=out_pos,
-        out_quat=out_quat,
-        scan_fn=scan_fn,
-        platform=config.platform,
-    )
+    robust_accepted = None
+    if robust:
+        from gps_optimize_slam_tpu.models import robust as robust_mod
+
+        gate = (
+            robust_mod.CHI2_3DOF_95
+            if robust_gate_chi2 is None
+            else robust_gate_chi2
+        )
+        out_pos, out_quat, robust_accepted, _ = robust_mod.fuse_robust_chunked(
+            slam_times,
+            slam_pos,
+            slam_quat,
+            p0[0],
+            q0[0],
+            aligned,
+            valid,
+            ekf_cfg=config.ekf,
+            rts_cfg=config.rts_decision,
+            rts_mode=config.rts_mode,
+            gate_chi2=gate,
+            n_iterations=robust_iterations,
+            chunk_size=chunk_size,
+            dtype=dtype,
+            out_pos=out_pos,
+            out_quat=out_quat,
+            scan_fn=scan_fn,
+            platform=config.platform,
+        )
+    else:
+        out_pos, out_quat = kalman_chunked.fuse_ekf_rts_chunked(
+            slam_times,
+            slam_pos,
+            slam_quat,
+            p0[0],
+            q0[0],
+            aligned,
+            valid,
+            ekf_cfg=config.ekf,
+            rts_cfg=config.rts_decision,
+            rts_mode=config.rts_mode,
+            chunk_size=chunk_size,
+            dtype=dtype,
+            out_pos=out_pos,
+            out_quat=out_quat,
+            scan_fn=scan_fn,
+            platform=config.platform,
+        )
 
     result = ChunkedFusionResult(
         corrected_pos=out_pos,
@@ -512,6 +554,7 @@ def fuse_core_chunked(
         gps_valid=valid,
         num_inliers=sres.num_inliers,
         ok=bool(np.asarray(sres.sim3.ok)),
+        robust_accepted=robust_accepted,
     )
     if return_sim3_trajectory:
         sim3_pos, sim3_quat = transform_trajectory_chunked(

@@ -14,13 +14,18 @@ evaluated against the previous pass's (smoother-informed) trajectory, which
 is the fixed-point the IEKF analogy actually buys in this model family.
 
 Gating changes GNSS availability, which drives the outage/RTS control flow —
-so each pass: (1) sequential gated forward pass records the effective
-availability mask, (2) the standard fusion (parallel scans) reruns with that
-mask. All jittable, static shapes.
+so each pass: (1) a gate pass records the effective availability mask,
+(2) the standard fusion (parallel scans) reruns with that mask. Two gate
+forms share a fixed point: the sequential within-pass gate (lax.scan) and
+the O(log N) parallel gate (``_parallel_nis`` — NIS scored against the
+associative filter of the previous pass's decisions). All jittable, static
+shapes. ``fuse_robust_chunked`` streams the parallel form over
+host-resident trajectories of any length (>HBM robust fusion).
 """
 
 from __future__ import annotations
 
+from functools import lru_cache as _lru_cache
 from functools import partial
 from typing import NamedTuple, Tuple
 
@@ -94,6 +99,57 @@ def _gated_availability(
     return accepted, nis_full
 
 
+@highp
+def _parallel_nis(
+    slam_times, slam_pos, slam_quat, init_pos, init_quat, aligned_gps,
+    avail_eval, avail_update, params: kalman.EKFParams, gate: float,
+    platform: str = "auto", scan_fn=jax.lax.associative_scan,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """O(log N) gate pass: filter with ``avail_update`` via the associative
+    position filter, then score every candidate measurement's one-step-ahead
+    NIS against the FILTERED state in parallel.
+
+    Differs from ``_gated_availability`` only mid-iteration: that pass folds
+    each gate decision into the filter state immediately (within-pass
+    sequential coupling), this one folds decisions in on the NEXT iteration.
+    Both fixed points coincide — when ``accepted == avail_update`` the two
+    recursions are the same filter, and Q/R/P₀ are diagonal so the full-
+    covariance solve there equals the diagonal division here. This is the
+    TPU-scalable form (three parallel scans instead of an N-step lax.scan)
+    and the one the chunked driver streams.
+    """
+    dtype = slam_pos.dtype
+    dp, dq = se3.relative_poses_along(slam_pos, slam_quat)
+    q_chain = kalman_parallel.parallel_quat_chain(
+        init_quat, dq, scan_fn=scan_fn, platform=platform
+    )
+    d = quat.rotate(q_chain[:-1], dp)
+    dt = jnp.maximum(1e-6, slam_times[1:] - slam_times[:-1])
+    Q_pos_diag = jnp.diag(params.Q_per_sec)[:3].astype(dtype)
+    R_diag = jnp.diag(params.R).astype(dtype)
+    Qd_diag = Q_pos_diag[None, :] * dt[:, None]
+    z = jnp.nan_to_num(aligned_gps[1:], nan=0.0)
+
+    m_f, P_f6 = kalman_parallel.parallel_position_filter(
+        init_pos, params.P0[:3, :3], d, Qd_diag, R_diag, z,
+        avail_update[1:], scan_fn=scan_fn, platform=platform,
+    )
+    # One-step-ahead prediction for step k (pose k+1) from pose k's
+    # filtered state; P stays diagonal (diagonal Q, R, P₀ and H = I).
+    Pf_diag = jnp.stack([P_f6[0], P_f6[3], P_f6[5]], axis=-1)  # (N,3)
+    m_pred = m_f[:-1] + d
+    S_diag = Pf_diag[:-1] + Qd_diag + R_diag[None, :]
+    nu = z - m_pred
+    nis = jnp.sum(nu * nu / S_diag, axis=-1)
+    av_e = avail_eval[1:]
+    accept = av_e & (nis <= gate)
+    accepted = jnp.concatenate([avail_eval[:1], accept])
+    nis_full = jnp.concatenate(
+        [jnp.zeros((1,), nis.dtype), jnp.where(av_e, nis, 0.0)]
+    )
+    return accepted, nis_full
+
+
 def fuse_robust(
     slam_times: jnp.ndarray,
     slam_pos: jnp.ndarray,
@@ -108,6 +164,7 @@ def fuse_robust(
     n_iterations: int = 2,
     scan: str = "auto",
     platform: str = "auto",
+    gate_mode: str = "sequential",
 ) -> RobustFusionResult:
     """EKF + RTS fusion with χ²-gated GNSS updates, iterated to a fixed
     point of the gate decisions.
@@ -117,7 +174,15 @@ def fuse_robust(
     associative-path compile is minutes-slow on XLA:CPU); both produce the
     same trajectory. ``platform`` mirrors FusionConfig.platform — "auto"
     resolves against the process default HERE, outside the jit; callers
-    compiling for non-default devices pass the resolved value."""
+    compiling for non-default devices pass the resolved value.
+
+    ``gate_mode``: "sequential" folds each gate decision into the filter
+    state within the pass (an N-step lax.scan); "parallel" scores all NIS
+    values against the associative filter of the PREVIOUS pass's decisions
+    (three O(log N) scans — the TPU-scalable form, and the semantics
+    ``fuse_robust_chunked`` streams at >HBM scale). Fixed points coincide;
+    mid-iteration decisions can differ only for measurements whose
+    acceptance flips within one pass."""
     if platform == "auto":
         from gps_optimize_slam_tpu.utils.backend import resolve_platform
 
@@ -125,12 +190,15 @@ def fuse_robust(
     return _fuse_robust(
         slam_times, slam_pos, slam_quat, sim3_pos, sim3_quat, aligned_gps,
         valid_mask, ekf_cfg, rts_cfg, gate_chi2, n_iterations, scan, platform,
+        gate_mode,
     )
 
 
 @partial(
     jax.jit,
-    static_argnames=("ekf_cfg", "rts_cfg", "n_iterations", "scan", "platform"),
+    static_argnames=(
+        "ekf_cfg", "rts_cfg", "n_iterations", "scan", "platform", "gate_mode"
+    ),
 )
 def _fuse_robust(
     slam_times: jnp.ndarray,
@@ -146,14 +214,16 @@ def _fuse_robust(
     n_iterations: int = 2,
     scan: str = "auto",
     platform: str = "cpu",
+    gate_mode: str = "sequential",
 ) -> RobustFusionResult:
     dtype = slam_pos.dtype
     params = kalman.ekf_params(ekf_cfg, dtype=dtype)
     avail = valid_mask & ~jnp.any(jnp.isnan(aligned_gps), axis=-1)
 
+    gate_fn = _gated_availability if gate_mode == "sequential" else _parallel_nis
     accepted, nis = avail, jnp.zeros(avail.shape, dtype)
     for _ in range(n_iterations):
-        accepted, nis = _gated_availability(
+        accepted, nis = gate_fn(
             slam_times, slam_pos, slam_quat, sim3_pos[0], sim3_quat[0],
             aligned_gps, avail, accepted, params, gate_chi2, platform=platform,
         )
@@ -174,3 +244,222 @@ def _fuse_robust(
         **kw,
     )
     return RobustFusionResult(positions=pos, quaternions=q, accepted=accepted, nis=nis)
+
+
+# ---------------------------------------------------------------------------
+# Out-of-core (chunked) robust fusion — the >HBM form of fuse_robust.
+#
+# The gate iteration streams fixed-size chunks through the device exactly
+# like ops.kalman_chunked's forward pass (re-entrant composite-element
+# carries), computing each candidate measurement's one-step-ahead NIS
+# against the filtered state IN PARALLEL within the chunk (_parallel_nis
+# semantics — gate decisions fold in on the next iteration). The final
+# fused trajectory then runs through kalman_chunked.fuse_ekf_rts_chunked
+# with the gated availability.
+# ---------------------------------------------------------------------------
+
+
+@_lru_cache(maxsize=8)
+def _gate_chunk_kernel(
+    ekf_cfg: EKFConfig, dtype_name: str, scan_fn=None, platform: str = "cpu"
+):
+    """Jitted one-chunk gate pass: (L+1 poses, L candidate steps) →
+    (accept (L,), nis (L,), new q_carry, new elem_carry)."""
+    from gps_optimize_slam_tpu.ops.kalman_chunked import (
+        _filter_step_elements,
+        _pack_fwd,
+        _unpack_fwd,
+    )
+    from gps_optimize_slam_tpu.ops.kalman_parallel import (
+        _FILTER_IDENTITY,
+        _combine_filter,
+        _maybe_pallas_scan,
+    )
+
+    dtype = jnp.dtype(dtype_name)
+    scan = scan_fn or jax.lax.associative_scan
+    filter_scan = _maybe_pallas_scan(scan, _FILTER_IDENTITY, platform)
+
+    @jax.jit
+    def kernel(times, pos, quats, z, av_e, av_u, gate, q_carry, elem_carry):
+        params = kalman.ekf_params(ekf_cfg, dtype=dtype)
+        Q_pos_diag = jnp.diag(params.Q_per_sec)[:3].astype(dtype)
+        R_diag = jnp.diag(params.R).astype(dtype)
+
+        dp, dq = se3.relative_poses_along(pos, quats)
+        qf = kalman_parallel.parallel_quat_chain(
+            q_carry, dq, scan_fn=scan, platform=platform
+        )
+        d = quat.rotate(qf[:-1], dp)
+        dt = jnp.maximum(1e-6, times[1:] - times[:-1])
+        Qd_diag = Q_pos_diag[None, :] * dt[:, None]
+        zs = jnp.nan_to_num(z, nan=0.0)
+
+        steps = _filter_step_elements(av_u, d, Qd_diag, zs, R_diag, dtype)
+        carry = _unpack_fwd(elem_carry)
+        cat = lambda c, rest: jnp.concatenate([c[None], rest])  # noqa: E731
+        elems = {
+            k: tuple(cat(c, r) for c, r in zip(carry[k], steps[k]))
+            for k in ("A", "b", "C", "eta", "J")
+        }
+        out = filter_scan(_combine_filter, elems)
+        # Row 0 is the carried filtered state at the chunk's first pose, so
+        # m_f[:-1]/Pf[:-1] are the one-step-back states for steps 0..L-1.
+        m_f = jnp.stack([out["b"][i] for i in range(3)], axis=-1)  # (L+1,3)
+        Pf_diag = jnp.stack(
+            [out["C"][0], out["C"][3], out["C"][5]], axis=-1
+        )  # (L+1,3) — diagonal P (diagonal Q/R/P₀, H = I)
+        m_pred = m_f[:-1] + d
+        S_nis = Pf_diag[:-1] + Qd_diag + R_diag[None, :]
+        nu = zs - m_pred
+        nis = jnp.sum(nu * nu / S_nis, axis=-1)
+        accept = av_e & (nis <= gate)
+        last = jax.tree.map(lambda x: x[-1], out)
+        return accept, jnp.where(av_e, nis, 0.0), qf[-1], _pack_fwd(last)
+
+    return kernel
+
+
+def gated_availability_chunked(
+    slam_times,
+    slam_pos,
+    slam_quat,
+    init_pos,
+    init_quat,
+    aligned_gps,
+    avail_eval,
+    avail_update,
+    ekf_cfg: EKFConfig = EKFConfig(),
+    gate_chi2: float = CHI2_3DOF_95,
+    chunk_size: int = 262144,
+    dtype=None,
+    scan_fn=None,
+    platform: str = "auto",
+):
+    """One χ² gate pass over a host-resident trajectory of any length.
+
+    NumPy/memmap inputs, O(chunk_size) device residency; software-pipelined
+    like kalman_chunked. Semantics = ``_parallel_nis`` (decisions fold in on
+    the next iteration); at the gate fixed point this equals the sequential
+    in-core gate. Returns host arrays (accepted (N,), nis (N,))."""
+    import numpy as np
+
+    from gps_optimize_slam_tpu.ops.kalman_chunked import _identity_fwd
+    from gps_optimize_slam_tpu.utils import streaming
+    from gps_optimize_slam_tpu.utils.backend import resolve_platform
+
+    platform = resolve_platform(platform, mesh=getattr(scan_fn, "mesh", None))
+    n = len(slam_times)
+    dtype = np.dtype(dtype or np.asarray(slam_pos).dtype)
+    jdt = dtype.name
+    accepted = np.empty(n, bool)
+    nis_all = np.zeros(n, dtype)
+    accepted[0] = bool(avail_eval[0])
+
+    params = kalman.ekf_params(ekf_cfg, dtype=jnp.dtype(jdt))
+    P0_diag = np.diag(np.asarray(params.P0))[:3]
+    kern = _gate_chunk_kernel(ekf_cfg, jdt, scan_fn, platform)
+    q_carry = jax.device_put(np.asarray(init_quat, dtype))
+    elem_carry = _identity_fwd(
+        jnp.asarray(np.asarray(init_pos, dtype)),
+        jnp.asarray(P0_diag, jdt),
+        jnp.dtype(jdt),
+    )
+    gate = jax.device_put(np.asarray(gate_chi2, dtype))
+    L = int(chunk_size)
+
+    def _stage(ab):
+        a, b = ab
+        lb = b - a
+        sl_t = np.asarray(slam_times[a : b + 1], dtype)
+        sl_p = np.asarray(slam_pos[a : b + 1], dtype)
+        sl_q = np.asarray(slam_quat[a : b + 1], dtype)
+        z = np.asarray(aligned_gps[a + 1 : b + 1], dtype)
+        ave = np.asarray(avail_eval[a + 1 : b + 1], bool)
+        avu = np.asarray(avail_update[a + 1 : b + 1], bool)
+        if lb < L:
+            padp = L - lb
+            sl_t = np.concatenate([sl_t, sl_t[-1] + 1e-3 * np.arange(1, padp + 1)])
+            sl_p = np.concatenate([sl_p, np.repeat(sl_p[-1:], padp, 0)])
+            sl_q = np.concatenate([sl_q, np.repeat(sl_q[-1:], padp, 0)])
+            z = np.concatenate([z, np.zeros((padp, 3), dtype)])
+            ave = np.concatenate([ave, np.zeros(padp, bool)])
+            avu = np.concatenate([avu, np.zeros(padp, bool)])
+        return tuple(jax.device_put(x) for x in (sl_t, sl_p, sl_q, z, ave, avu))
+
+    def _launch(ab, staged):
+        nonlocal q_carry, elem_carry
+        acc, nis, q_carry, elem_carry = kern(*staged, gate, q_carry, elem_carry)
+        return acc, nis
+
+    def _drain(ab, launched):
+        a, b = ab
+        lb = b - a
+        acc, nis = launched
+        accepted[a + 1 : b + 1] = np.asarray(acc)[:lb]
+        nis_all[a + 1 : b + 1] = np.asarray(nis)[:lb]
+
+    streaming.stream_chunks(
+        ((a, min(a + L, n - 1)) for a in range(0, n - 1, L)),
+        _stage,
+        _launch,
+        _drain,
+    )
+    return accepted, nis_all
+
+
+def fuse_robust_chunked(
+    slam_times,
+    slam_pos,
+    slam_quat,
+    sim3_pos0,
+    sim3_quat0,
+    aligned_gps,
+    valid_mask,
+    ekf_cfg: EKFConfig = EKFConfig(),
+    rts_cfg: RTSDecisionConfig = RTSDecisionConfig(),
+    rts_mode: str = "outage",
+    gate_chi2: float = CHI2_3DOF_95,
+    n_iterations: int = 2,
+    chunk_size: int = 262144,
+    dtype=None,
+    out_pos=None,
+    out_quat=None,
+    scan_fn=None,
+    platform: str = "auto",
+):
+    """χ²-gated EKF + RTS over a host-resident trajectory of any length —
+    ``fuse_robust(gate_mode="parallel")`` at >HBM scale.
+
+    Returns (pos (N,3), quat (N,4), accepted (N,), nis (N,)) host arrays;
+    ``out_pos``/``out_quat`` may be preallocated memmaps (see
+    kalman_chunked.fuse_ekf_rts_chunked for the aliasing rule)."""
+    import numpy as np
+
+    from gps_optimize_slam_tpu.ops import kalman_chunked
+
+    n = len(slam_times)
+    dtype = np.dtype(dtype or np.asarray(slam_pos).dtype)
+    avail = np.asarray(valid_mask, bool) & ~np.isnan(
+        np.asarray(aligned_gps)
+    ).any(-1)
+    accepted = avail.copy()
+    nis = np.zeros(n, dtype)
+    for _ in range(n_iterations):
+        accepted, nis = gated_availability_chunked(
+            slam_times, slam_pos, slam_quat, sim3_pos0, sim3_quat0,
+            aligned_gps, avail, accepted,
+            ekf_cfg=ekf_cfg, gate_chi2=gate_chi2, chunk_size=chunk_size,
+            dtype=dtype, scan_fn=scan_fn, platform=platform,
+        )
+    gated_gps = np.where(accepted[:, None], np.asarray(aligned_gps), np.nan).astype(
+        dtype
+    )
+    pos, quatn = kalman_chunked.fuse_ekf_rts_chunked(
+        slam_times, slam_pos, slam_quat, sim3_pos0, sim3_quat0,
+        gated_gps, accepted,
+        ekf_cfg=ekf_cfg, rts_cfg=rts_cfg, rts_mode=rts_mode,
+        chunk_size=chunk_size, dtype=dtype, out_pos=out_pos, out_quat=out_quat,
+        scan_fn=scan_fn, platform=platform,
+    )
+    return pos, quatn, accepted, nis

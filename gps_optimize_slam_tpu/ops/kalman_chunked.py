@@ -151,6 +151,28 @@ def _identity_fwd(m0, P0_diag, dtype):
     return v
 
 
+def _filter_step_elements(avail, d, Qd_diag, zs, R_diag, dtype):
+    """Per-step filtering five-tuple elements (diagonal Q/R, H = I) for one
+    chunk — shared by the forward fusion kernel and the robust gate kernel
+    (models.robust). Same algebra as kalman_parallel.parallel_position_filter."""
+    L = d.shape[0]
+    zeros = jnp.zeros((L,), dtype)
+    S = Qd_diag + R_diag[None, :]
+    K = Qd_diag / S
+    IK = 1.0 - K
+    ikd = jnp.where(avail[:, None], IK, 1.0)
+    A = (ikd[:, 0], zeros, zeros, zeros, ikd[:, 1], zeros, zeros, zeros, ikd[:, 2])
+    b_arr = jnp.where(avail[:, None], IK * d + K * zs, d)
+    b = tuple(b_arr[:, i] for i in range(3))
+    Cd = jnp.where(avail[:, None], IK * Qd_diag, Qd_diag)
+    C = (Cd[:, 0], zeros, zeros, Cd[:, 1], zeros, Cd[:, 2])
+    eta_arr = jnp.where(avail[:, None], (zs - d) / S, 0.0)
+    eta = tuple(eta_arr[:, i] for i in range(3))
+    Jd = jnp.where(avail[:, None], 1.0 / S, 0.0)
+    J = (Jd[:, 0], zeros, zeros, Jd[:, 1], zeros, Jd[:, 2])
+    return dict(A=A, b=b, C=C, eta=eta, J=J)
+
+
 # ---------------------------------------------------------------------------
 # Jitted chunk kernels (cached per (L, dtype, config) via lru_cache)
 # ---------------------------------------------------------------------------
@@ -184,31 +206,14 @@ def _fwd_kernel(ekf_cfg: EKFConfig, dtype_name: str, scan_fn=None, platform: str
         Qd_diag = Q_pos_diag[None, :] * dt[:, None]
         zs = jnp.nan_to_num(z, nan=0.0)
 
-        L = d.shape[0]
-        zeros = jnp.zeros((L,), dtype)
-        S = Qd_diag + R_diag[None, :]
-        K = Qd_diag / S
-        IK = 1.0 - K
-        ikd = jnp.where(avail[:, None], IK, 1.0)
-        A = (ikd[:, 0], zeros, zeros, zeros, ikd[:, 1], zeros, zeros, zeros, ikd[:, 2])
-        b_arr = jnp.where(avail[:, None], IK * d + K * zs, d)
-        b = tuple(b_arr[:, i] for i in range(3))
-        Cd = jnp.where(avail[:, None], IK * Qd_diag, Qd_diag)
-        C = (Cd[:, 0], zeros, zeros, Cd[:, 1], zeros, Cd[:, 2])
-        eta_arr = jnp.where(avail[:, None], (zs - d) / S, 0.0)
-        eta = tuple(eta_arr[:, i] for i in range(3))
-        Jd = jnp.where(avail[:, None], 1.0 / S, 0.0)
-        J = (Jd[:, 0], zeros, zeros, Jd[:, 1], zeros, Jd[:, 2])
+        steps = _filter_step_elements(avail, d, Qd_diag, zs, R_diag, dtype)
 
         carry = _unpack_fwd(elem_carry)
         cat = lambda c, rest: jnp.concatenate([c[None], rest])  # noqa: E731
-        elems = dict(
-            A=tuple(cat(c, r) for c, r in zip(carry["A"], A)),
-            b=tuple(cat(c, r) for c, r in zip(carry["b"], b)),
-            C=tuple(cat(c, r) for c, r in zip(carry["C"], C)),
-            eta=tuple(cat(c, r) for c, r in zip(carry["eta"], eta)),
-            J=tuple(cat(c, r) for c, r in zip(carry["J"], J)),
-        )
+        elems = {
+            k: tuple(cat(c, r) for c, r in zip(carry[k], steps[k]))
+            for k in ("A", "b", "C", "eta", "J")
+        }
         out = filter_scan(_combine_filter, elems)
         m_f = jnp.stack([out["b"][i][1:] for i in range(3)], axis=-1)
         P_f6 = jnp.stack([out["C"][i][1:] for i in range(6)], axis=-1)

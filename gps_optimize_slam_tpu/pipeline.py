@@ -417,6 +417,13 @@ class ChunkedPipelineResult:
             f"sim3: scale={float(np.asarray(r.sim3.scale)):.6f} ok={r.ok} "
             f"inliers={r.num_inliers}",
         ]
+        if getattr(r, "robust_accepted", None) is not None:
+            racc = np.asarray(r.robust_accepted)
+            gv = np.asarray(r.gps_valid)
+            lines.append(
+                f"robust χ² gate: accepted={int(racc.sum())} "
+                f"rejected={int((~racc & gv).sum())}"
+            )
         if self.evaluation is not None:
             ev = self.evaluation
             for name, st in [
@@ -461,6 +468,9 @@ def fuse_files_chunked(
     evaluate: bool = True,
     gt_path: Optional[str] = None,
     gt_lon_first: bool = True,
+    robust: bool = False,
+    robust_gate_chi2: Optional[float] = None,
+    robust_iterations: int = 2,
 ) -> ChunkedPipelineResult:
     """End-to-end OUT-OF-CORE fusion: trajectories larger than device memory.
 
@@ -476,7 +486,12 @@ def fuse_files_chunked(
     default — SURVEY Q4), evaluated with the STREAMED GT evaluator
     (fusion_chunked.evaluate_vs_track_chunked) so the reference's
     unconditional GT comparison (EKFGPSSLAM.py:1044-1067) also exists at
-    >HBM scale."""
+    >HBM scale.
+
+    ``robust=True``: χ²-NIS-gated filter at >HBM scale
+    (models.robust.fuse_robust_chunked) — same semantics as
+    ``fuse_files(robust=True)``'s parallel gate; the result's
+    ``result.robust_accepted`` records surviving measurements."""
     from gps_optimize_slam_tpu.models import fusion_chunked
 
     step(1, 3, f"loading SLAM trajectory {slam_path}")
@@ -511,6 +526,9 @@ def fuse_files_chunked(
         chunk_size=chunk_size,
         halo=halo,
         dtype=np_dtype,
+        robust=robust,
+        robust_gate_chi2=robust_gate_chi2,
+        robust_iterations=robust_iterations,
     )
     if not result.ok:
         raise RuntimeError(

@@ -462,7 +462,32 @@ def test_fuse_chunked_rejects_incore_flags(capsys):
             reference_fixture("yolotum04.txt"),
             reference_fixture("combined_output.txt"),
             "--chunked",
-            "--robust",
+            "--plot",
+            "unused.png",
         ]
     )
     assert rc == 2
+
+
+def test_fuse_chunked_robust_cli(capsys):
+    """`fuse --chunked --robust`: the χ² gate streams at >HBM scale
+    (models.robust.fuse_robust_chunked). Clean seq-04 keeps ~everything and
+    the gated trajectory stays at the golden accuracy."""
+    rc = main(
+        [
+            "fuse",
+            reference_fixture("yolotum04.txt"),
+            reference_fixture("combined_output.txt"),
+            "--chunked",
+            "--chunk-size",
+            "159",
+            "--robust",
+            "--json",
+        ]
+    )
+    assert rc == 0
+    captured = capsys.readouterr().out
+    payload = json.loads(captured[: captured.rindex("}") + 1])
+    assert payload["chunked"] is True
+    assert payload["robust_accepted"] >= 260
+    assert abs(payload["nn_vs_primary"]["ekf"]["rmse_m"] - 0.0839) < 2e-3
