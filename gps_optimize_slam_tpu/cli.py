@@ -173,18 +173,14 @@ def _cmd_fuse_chunked(args, config, frame) -> int:
     device memory stream through O(chunk)-resident device programs
     (pipeline.fuse_files_chunked). GT comparison and χ² robust gating
     stream too (fusion_chunked.evaluate_vs_track_chunked,
-    models.robust.fuse_robust_chunked); plotting remains an in-core
-    feature — reject its combination explicitly."""
+    models.robust.fuse_robust_chunked); plotting renders a DECIMATED
+    overview (ChunkedPipelineResult.decimated_view — ≤5k poses on the
+    figure, full resolution stays in the exported TUM)."""
     import numpy as np
 
     from gps_optimize_slam_tpu import pipeline
     from gps_optimize_slam_tpu.io import tum as tum_io
 
-    for flag, name in [(args.plot, "--plot"), (args.show, "--show")]:
-        if flag:
-            print(f"{name} is not supported with --chunked (in-core feature)",
-                  file=sys.stderr)
-            return 2
     res = pipeline.fuse_files_chunked(
         args.slam,
         args.gps,
@@ -197,6 +193,13 @@ def _cmd_fuse_chunked(args, config, frame) -> int:
         robust_gate_chi2=args.robust_gate,
         robust_iterations=args.robust_iters,
     )
+    if args.plot or args.show:
+        from gps_optimize_slam_tpu.viz import plot_fusion_result
+
+        view = res.decimated_view()
+        plot_fusion_result(view, args.plot, interactive=args.show, show=args.show)
+        if args.plot:
+            print(f"plot saved: {args.plot} (decimated overview)")
     if args.json:
         def stats(s):
             return {

@@ -408,6 +408,47 @@ class ChunkedPipelineResult:
     gt_evaluation: Optional[fusion.Evaluation] = None
     gt_aligned: Optional["object"] = None  # AlignedGPS of host arrays
 
+    def decimated_view(self, max_points: int = 5000):
+        """Duck-typed FusionResult view for ``viz.plot_fusion_result``:
+        every pose-length array strided down to ≤ ``max_points`` so >HBM
+        fusions still get the reference's 4-panel overview. The Sim3 layer
+        is recomputed on the decimated poses (one cheap chunked transform);
+        the error panels are evaluated against the DECIMATED candidate set —
+        an upper-bound approximation, fine for a trend overview."""
+        import types
+
+        from gps_optimize_slam_tpu.models import fusion_chunked
+
+        n = len(self.slam["timestamps"])
+        s = max(1, -(-n // max_points))  # ceil
+        slam_d = {k: np.asarray(v)[::s] for k, v in self.slam.items()}
+        r = self.result
+        sim3_pos, _ = fusion_chunked.transform_trajectory_chunked(
+            slam_d["positions"],
+            slam_d["quaternions"],
+            r.sim3,
+            dtype=slam_d["positions"].dtype,
+        )
+        outputs = types.SimpleNamespace(
+            sim3_pos=sim3_pos,
+            aligned_gps=np.asarray(r.aligned_gps)[::s],
+            gps_valid=np.asarray(r.gps_valid)[::s],
+        )
+        gt_aligned = None
+        if self.gt_aligned is not None:
+            gt_aligned = types.SimpleNamespace(
+                aligned=np.asarray(self.gt_aligned.aligned)[::s],
+                valid=np.asarray(self.gt_aligned.valid)[::s],
+            )
+        return types.SimpleNamespace(
+            slam=slam_d,
+            gps=self.gps,
+            outputs=outputs,
+            corrected_pos=np.asarray(r.corrected_pos)[::s],
+            gt=self.gt,
+            gt_aligned=gt_aligned,
+        )
+
     def summary(self) -> str:
         r = self.result
         lines = [

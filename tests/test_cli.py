@@ -455,18 +455,54 @@ def test_fuse_chunked_with_gt(tmp_path, capsys):
     assert abs(payload["nn_vs_ground_truth"]["ekf"]["rmse_m"] - 0.173) < 2e-3
 
 
-def test_fuse_chunked_rejects_incore_flags(capsys):
+def test_fuse_chunked_plot_decimated_overview(tmp_path, capsys):
+    """`fuse --chunked --plot`: the 4-panel overview renders from the
+    decimated view (ChunkedPipelineResult.decimated_view) so >HBM fusions
+    keep the reference's plotting surface."""
+    out = tmp_path / "chunked_overview.png"
     rc = main(
         [
             "fuse",
             reference_fixture("yolotum04.txt"),
             reference_fixture("combined_output.txt"),
             "--chunked",
+            "--chunk-size",
+            "159",
             "--plot",
-            "unused.png",
+            str(out),
         ]
     )
-    assert rc == 2
+    assert rc == 0
+    assert out.exists() and out.stat().st_size > 10_000
+    assert "decimated overview" in capsys.readouterr().out
+
+
+def test_chunked_decimated_view_strides_all_pose_arrays():
+    from gps_optimize_slam_tpu import pipeline
+    from gps_optimize_slam_tpu.viz import plot_fusion_result
+    import matplotlib
+
+    matplotlib.use("Agg")
+    res = pipeline.fuse_files_chunked(
+        reference_fixture("yolotum04.txt"),
+        reference_fixture("combined_output.txt"),
+        chunk_size=159,
+        evaluate=False,
+    )
+    view = res.decimated_view(max_points=100)
+    n = len(view.slam["timestamps"])
+    assert n <= 100
+    assert view.corrected_pos.shape == (n, 3)
+    assert view.outputs.sim3_pos.shape == (n, 3)
+    assert view.outputs.aligned_gps.shape == (n, 3)
+    assert view.outputs.gps_valid.shape == (n,)
+    # The decimated view renders through the same plotting path.
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "v.png")
+        plot_fusion_result(view, p)
+        assert os.path.getsize(p) > 10_000
 
 
 def test_fuse_chunked_robust_cli(capsys):
