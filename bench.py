@@ -472,8 +472,9 @@ def ransac_flip_section(jax, jnp, n_keys=100):
     run sim3_ransac with EXACT jnp counts vs the Pallas MXU counts over
     ``n_keys`` PRNG keys and report how often the argmax winner differs and
     the worst-case refit output delta (metres, over the window points).
-    Expected ≈0 impact: counts may differ only within f32 rounding of the
-    threshold, and the winner's mask/refit is always recomputed exactly."""
+    Expected ≈0: the Pallas path re-ranks its top-k approx trials with
+    exact counts (ops.ransac), so a flip needs the exact winner to miss the
+    approx top-k entirely; the winner's mask/refit is recomputed exactly."""
     from gps_optimize_slam_tpu.config import FusionConfig
     from gps_optimize_slam_tpu.io import tum as tum_io
     from gps_optimize_slam_tpu import pipeline

@@ -26,8 +26,11 @@ tile whose box-to-box LOWER bound exceeds that threshold. The skip mask
 rides scalar prefetch (SMEM) and gates the whole tile body with ``pl.when``
 — the result stays EXACT (the true-NN tile is never skipped: its lower
 bound is ≤ its upper bound, which is ≥ the threshold's defining minimum),
-only provably-losing VPU work is elided. On all-KITTI evaluation shapes
-this removes ~90% of the O(N·M) distance work.
+only provably-losing VPU work is elided. Measured tile-keep fractions at
+all-KITTI scale: ~4% on car-like (curvature-limited) trajectories, ~31%
+on an adversarial self-crossing random walk — i.e. 69-96% of the O(N·M)
+distance work is skipped; on isotropic point clouds (every segment box
+spans the cloud) nothing can be pruned and the kernel runs dense.
 """
 
 from __future__ import annotations
@@ -254,9 +257,10 @@ def nn_errors_pallas(
 # CENTERS both clouds (p−μp, d−μd, t adjusted per trial) — block-local
 # magnitudes drop from UTM/ENU spans to cloud radii and the f32/bf16x3 error
 # stays ≪ the metres-scale RANSAC threshold. Counts may still differ from
-# the exact formulation for residuals within rounding of the threshold — an
-# equivalent consensus (the winner's mask/refit is recomputed exactly by the
-# caller).
+# the exact formulation for residuals within rounding of the threshold — the
+# caller (ops.ransac.sim3_ransac) re-ranks its top-k trials with exact
+# counts so the selected winner matches the exact formulation, and the
+# winner's mask/refit is recomputed exactly.
 # ---------------------------------------------------------------------------
 
 TILE_T = 256  # trials per block

@@ -127,10 +127,10 @@ def sim3_ransac(
     # On accelerators, count consensus with the Pallas tiled kernel: the
     # vmapped jnp count streams O(trials·points) intermediates through HBM
     # (the RANSAC stage's bandwidth wall at all-KITTI scale); the kernel
-    # accumulates counts in VMEM with O(points + trials) traffic. The
-    # winner's mask/refit below always uses the jnp arithmetic, so converged
-    # outputs are unchanged (counts may differ only for residuals within
-    # f32 rounding of the threshold — a different-but-equivalent consensus).
+    # accumulates counts in VMEM with O(points + trials) traffic. Counts may
+    # differ only for residuals within f32 rounding of the threshold; the
+    # top-k exact re-rank below pins the WINNER to the exact formulation,
+    # and the winner's mask/refit always uses the jnp arithmetic.
     use_pallas = platform not in ("cpu",)
 
     def batch_counts(ks):
@@ -144,14 +144,38 @@ def sim3_ransac(
             return jnp.where(fits.ok, c, -1).astype(jnp.int32)
         return jax.vmap(trial_count)(ks)
 
+    # Pallas counts can differ from the exact form by a few near-threshold
+    # residuals (f32 rounding of the quadratic-form expansion), which can
+    # flip the argmax between near-tie trials. Re-ranking the top-k approx
+    # trials with EXACT counts (k·N elementwise work — negligible next to
+    # the T·N counting pass) pins the winner to the exact formulation
+    # whenever the true winner's approx count reaches the top-k; flips span
+    # 1-2 counts, so k=8 covers them with a wide margin.
+    RERANK_K = 8
+
+    def rerank_exact(counts, ks):
+        """(best_count, best_key) — exact-count argmax over the top-k approx
+        trials, first-maximum (smallest original trial index) on ties."""
+        k = min(RERANK_K, counts.shape[0])
+        _, topi = jax.lax.top_k(counts, k)
+        exact = jax.vmap(trial_count)(ks[topi])
+        best_exact = jnp.max(exact)
+        best = jnp.min(
+            jnp.where(exact == best_exact, topi, counts.shape[0])
+        )
+        return best_exact, ks[best]
+
     # Trials return COUNTS only — the (trials × points) inlier matrix never
     # materialises in HBM; the winner's mask is recomputed from its key.
     keys = jax.random.split(key, cfg.max_trials)
     if cfg.stop_probability is None:
         counts = batch_counts(keys)
-        best = jnp.argmax(counts)  # first maximum, like the reference's '>'
-        best_key = keys[best]
-        best_count = counts[best]
+        if use_pallas:
+            best_count, best_key = rerank_exact(counts, keys)
+        else:
+            best = jnp.argmax(counts)  # first maximum, like the reference's '>'
+            best_key = keys[best]
+            best_count = counts[best]
     else:
         # Adaptive early stopping (sklearn-style, config-gated): run
         # fixed-size trial chunks under lax.while_loop until the
@@ -182,12 +206,16 @@ def sim3_ransac(
         def body(state):
             i, best_count, best_key = state
             counts = batch_counts(keys[i])
-            b = jnp.argmax(counts)
-            better = counts[b] > best_count  # strict: earlier chunk wins ties
+            if use_pallas:
+                cb, kb = rerank_exact(counts, keys[i])
+            else:
+                b = jnp.argmax(counts)
+                cb, kb = counts[b], keys[i][b]
+            better = cb > best_count  # strict: earlier chunk wins ties
             return (
                 i + 1,
-                jnp.where(better, counts[b], best_count),
-                jnp.where(better, keys[i][b], best_key),
+                jnp.where(better, cb, best_count),
+                jnp.where(better, kb, best_key),
             )
 
         _, best_count, best_key = jax.lax.while_loop(

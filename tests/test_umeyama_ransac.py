@@ -343,3 +343,46 @@ def test_sim3_ransac_adaptive_matches_fixed():
             inl = np.asarray(adaptive.inlier_mask)
             assert inl[out_idx].sum() == 0
             assert inl.sum() >= n - 45 - 5
+
+
+def test_pallas_count_rerank_pins_winner(monkeypatch):
+    """The Pallas counting path re-ranks its top-k approx trials with EXACT
+    counts, so near-threshold count perturbations (the MXU quadratic-form
+    rounding) cannot flip the selected winner. Simulated here by an
+    adversarial counts oracle standing in for the kernel: a few losing
+    trials get +2 votes — enough to steal a plain argmax, not the re-rank."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gps_optimize_slam_tpu.config import Sim3RansacConfig
+    from gps_optimize_slam_tpu.ops import pallas_kernels, ransac
+
+    rng = np.random.default_rng(3)
+    n = 300
+    src = jnp.asarray(rng.normal(size=(n, 3)) * 20)
+    R = np.eye(3)
+    dst_clean = 1.05 * src @ R.T + np.array([3.0, -2.0, 1.0])
+    dst = jnp.asarray(dst_clean + rng.normal(size=(n, 3)) * 0.3)
+    cfg = Sim3RansacConfig(max_trials=64, residual_threshold=2.0)
+
+    def fake_counts(src_, dst_, valid_, Rt, tt, st, thr2, interpret=False):
+        pred = st[:, None, None] * jnp.einsum("tij,nj->tni", Rt, src_) + tt[:, None]
+        res2 = jnp.sum((pred - dst_[None]) ** 2, axis=-1)
+        c = jnp.sum((res2 < thr2) & valid_[None], axis=-1).astype(jnp.int32)
+        b = jnp.argmax(c)
+        t_idx = jnp.arange(c.shape[0])
+        steal = (t_idx != b) & (t_idx % 13 == 0)  # a few near-tie "flips"
+        return jnp.where(steal, c + 2, c)
+
+    monkeypatch.setattr(pallas_kernels, "ransac_counts", fake_counts)
+    key = jax.random.PRNGKey(0)
+    got = ransac.sim3_ransac(key, src, dst, cfg=cfg, platform="tpu")
+    want = ransac.sim3_ransac(key, src, dst, cfg=cfg, platform="cpu")
+    np.testing.assert_array_equal(
+        np.asarray(got.inlier_mask), np.asarray(want.inlier_mask)
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.sim3.t), np.asarray(want.sim3.t), rtol=0, atol=0
+    )
+    assert int(got.num_inliers) == int(want.num_inliers)
