@@ -32,6 +32,7 @@ Semantics notes (documented quirks, SURVEY.md §2.5):
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Optional
 
 import jax
@@ -291,7 +292,19 @@ def _compact_sort(
     return t_c, p_c, n_eff
 
 
-def _segment_structure(t: jnp.ndarray, n_eff, gap_threshold: float):
+def _add_combine(e1, e2):
+    return tuple(x + y for x, y in zip(e1, e2))
+
+
+def _max_combine(e1, e2):
+    return tuple(jnp.maximum(x, y) for x, y in zip(e1, e2))
+
+
+def _min_combine(e1, e2):
+    return tuple(jnp.minimum(x, y) for x, y in zip(e1, e2))
+
+
+def _segment_structure(t: jnp.ndarray, n_eff, gap_threshold: float, platform: str = "cpu"):
     """Label gap-separated segments on compacted times.
 
     Returns (seg_id, is_real, start_idx, end_idx, start_t, end_t, length,
@@ -301,6 +314,13 @@ def _segment_structure(t: jnp.ndarray, n_eff, gap_threshold: float):
     difference instead of the scatter-based `segment_*` ops (TPU scatters
     were the hot spot of alignment at scale). ``ok`` requires len ≥ 2 and
     all within-segment steps > 1e-9.
+
+    Off-CPU (``platform``; resolved by the caller) the eight cumulative
+    scans fuse into THREE single-kernel Pallas ladders (2 forward, 1
+    reverse) over f32 leaves — alignment is latency-bound on scan fusion
+    rounds at production sizes. All propagated values are integers < 2²⁴
+    or knot times, so the f32 tuple scans are exact and BOTH paths return
+    identical results (property-tested).
     """
     m = t.shape[0]
     idx = jnp.arange(m)
@@ -308,45 +328,78 @@ def _segment_structure(t: jnp.ndarray, n_eff, gap_threshold: float):
     dt = jnp.diff(t)  # (m-1,) — inf at/after the padding boundary
     gap = dt > gap_threshold
     is_start = jnp.concatenate([jnp.ones((1,), bool), gap])
-    seg_id = jnp.cumsum(is_start.astype(jnp.int32)) - 1
-
-    # Per-point segment aggregates WITHOUT gathers (TPU dynamic gathers are
-    # the pipeline's slowest op): every aggregate rides a forward cummax or
-    # native reverse cummin. This works because the quantities being
-    # propagated are monotone along the compacted (sorted) times — the
-    # nearest start ≤ j maximises, the nearest end ≥ j minimises.
-    start_idx = jax.lax.cummax(jnp.where(is_start, idx, -1))
     is_end = jnp.concatenate([gap, jnp.ones((1,), bool)])
-    end_idx = jax.lax.cummin(jnp.where(is_end, idx, m), axis=0, reverse=True)
-
-    # t is ascending ⇒ the segment's start/end TIME propagates by the same
-    # scans directly (no t[start_idx] gather). NaN knot times (possible for
-    # valid-flagged NaN inputs) are mapped to +inf so they cannot poison
-    # the scans — their rows are non-real and masked invalid downstream.
-    start_t = jax.lax.cummax(
-        jnp.where(is_start, jnp.where(jnp.isfinite(t), t, _INF), -_INF)
-    )
-    end_t = jax.lax.cummin(
-        jnp.where(is_end, jnp.where(jnp.isfinite(t), t, _INF), _INF),
-        axis=0,
-        reverse=True,
-    )
-    seg_len = end_idx - start_idx + 1
-
     # Any within-segment step ≤ 1e-9 ⇒ segment skipped (reference
     # EKFGPSSLAM.py:364-366). cum_bad is nondecreasing, so "cum_bad at my
     # segment's start/end" also propagates by cummax/reverse-cummin of the
-    # values marked at starts/ends — again gather-free.
+    # values marked at starts/ends — gather-free, like every aggregate
+    # here: the nearest start ≤ j maximises, the nearest end ≥ j minimises
+    # (monotone along the compacted sorted times).
     bad = (dt <= 1e-9) & ~gap
-    # cb_excl[j] = number of bad steps among dt[0..j-1] (exclusive prefix).
-    cb_excl = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(bad.astype(jnp.int32))]
-    )
-    big = jnp.iinfo(jnp.int32).max
-    cb_start = jax.lax.cummax(jnp.where(is_start, cb_excl, -1))
-    cb_end = jax.lax.cummin(
-        jnp.where(is_end, cb_excl, big), axis=0, reverse=True
-    )
+    t_fin = jnp.where(jnp.isfinite(t), t, _INF)
+
+    if platform in ("cpu",) or m >= (1 << 24) or t.dtype != jnp.float32:
+        # Exact-int lax path (golden-pinned; also any size/dtype the f32
+        # fused ladders below could not represent).
+        seg_id = jnp.cumsum(is_start.astype(jnp.int32)) - 1
+        start_idx = jax.lax.cummax(jnp.where(is_start, idx, -1))
+        end_idx = jnp.asarray(
+            jax.lax.cummin(jnp.where(is_end, idx, m), axis=0, reverse=True)
+        )
+        # NaN knot times (possible for valid-flagged NaN inputs) are mapped
+        # to +inf so they cannot poison the scans — their rows are non-real
+        # and masked invalid downstream.
+        start_t = jax.lax.cummax(jnp.where(is_start, t_fin, -_INF))
+        end_t = jax.lax.cummin(
+            jnp.where(is_end, t_fin, _INF), axis=0, reverse=True
+        )
+        # cb_excl[j] = number of bad steps among dt[0..j-1] (exclusive).
+        cb_excl = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), jnp.cumsum(bad.astype(jnp.int32))]
+        )
+        big = jnp.iinfo(jnp.int32).max
+        cb_start = jax.lax.cummax(jnp.where(is_start, cb_excl, -1))
+        cb_end = jax.lax.cummin(
+            jnp.where(is_end, cb_excl, big), axis=0, reverse=True
+        )
+    else:
+        from gps_optimize_slam_tpu.ops.tridiag import _scan_impl
+
+        f32 = jnp.float32
+        idx_f = idx.astype(f32)
+        # Forward pass A (prefix sums): seg_id counter + exclusive bad count.
+        sum_scan = _scan_impl(platform, (0.0, 0.0))
+        bad_full = jnp.concatenate([jnp.zeros((1,), bool), bad])
+        seg_id_f, cb_excl_f = sum_scan(
+            _add_combine, (is_start.astype(f32), bad_full.astype(f32))
+        )
+        seg_id = seg_id_f.astype(jnp.int32) - 1
+        cb_excl = cb_excl_f
+        # Forward pass B (running max of start-marked values).
+        max_scan = _scan_impl(platform, (-float("inf"),) * 3)
+        start_idx_f, start_t, cb_start = max_scan(
+            _max_combine,
+            (
+                jnp.where(is_start, idx_f, -1.0),
+                jnp.where(is_start, t_fin, -_INF),
+                jnp.where(is_start, cb_excl, -1.0),
+            ),
+        )
+        # Reverse pass C (running min of end-marked values).
+        min_scan = _scan_impl(platform, (float("inf"),) * 3)
+        end_idx_f, end_t, cb_end = min_scan(
+            _min_combine,
+            (
+                jnp.where(is_end, idx_f, float(m)),
+                jnp.where(is_end, t_fin, _INF),
+                jnp.where(is_end, cb_excl, _INF),
+            ),
+            reverse=True,
+        )
+        start_idx = start_idx_f.astype(jnp.int32)
+        end_idx = end_idx_f.astype(jnp.int32)
+
+    seg_len = end_idx - start_idx + 1
     any_bad = (cb_end - cb_start) > 0
     seg_ok = (seg_len >= 2) & ~any_bad
     return seg_id, is_real, start_idx, end_idx, start_t, end_t, seg_len, seg_ok
@@ -443,6 +496,7 @@ def _notaknot_moments_tridiag(
     seg_end_idx: jnp.ndarray,
     seg_len: jnp.ndarray,
     seg_ok: jnp.ndarray,
+    platform: str = "cpu",
 ) -> jnp.ndarray:
     """Same moments as ``_notaknot_moments`` via a tridiagonal solve.
 
@@ -495,7 +549,7 @@ def _notaknot_moments_tridiag(
     c = c - jnp.where(first_int, hm1_s**2 / (6.0 * h_s), 0.0)
     d = jnp.where(interiorish[:, None], r, 0.0)
 
-    M = tridiag_solve(a, b, c, d)
+    M = tridiag_solve(a, b, c, d, platform=platform)
     M = jnp.where(interiorish[:, None], M, 0.0)
 
     # Recover corner moments:
@@ -583,6 +637,10 @@ def align_gps_to_slam(
     if gps_valid is None:
         gps_valid = jnp.ones(gps_times.shape, bool)
 
+    from gps_optimize_slam_tpu.utils.backend import resolve_platform
+
+    platform = resolve_platform(platform)
+
     t, p, n_eff = _compact_sort(
         gps_times + time_offset, gps_positions, gps_valid, assume_sorted=assume_sorted
     )
@@ -595,12 +653,12 @@ def align_gps_to_slam(
         seg_end_t,
         seg_len,
         seg_ok,
-    ) = _segment_structure(t, n_eff, cfg.max_gps_gap_threshold)
+    ) = _segment_structure(t, n_eff, cfg.max_gps_gap_threshold, platform=platform)
 
     if spline_solver == "auto":
         spline_solver = "tridiagonal" if gps_times.shape[0] >= 256 else "dense"
     moments_fn = (
-        _notaknot_moments_tridiag
+        functools.partial(_notaknot_moments_tridiag, platform=platform)
         if spline_solver == "tridiagonal"
         else _notaknot_moments
     )
@@ -620,15 +678,14 @@ def align_gps_to_slam(
     j = jnp.searchsorted(t, slam_times, side="right", method=ss_method) - 1
     j = jnp.clip(j, 0, m - 1)
 
-    from gps_optimize_slam_tpu.utils.backend import resolve_platform
-
     # Auto gather: one-hot matmul off-CPU, but capped — the one-hot is an
     # (N, M) intermediate, O(N·M) HBM; beyond the cap (≈256 MB f32) the
     # dynamic gather's serialisation is the lesser evil (same work-product
-    # guard as the searchsorted method choice above).
+    # guard as the searchsorted method choice above). ``platform`` was
+    # resolved once at the top of this function.
     use_matmul = gather == "matmul" or (
         gather == "auto"
-        and resolve_platform(platform) != "cpu"
+        and platform != "cpu"
         and m * slam_times.shape[0] <= GATHER_MATMUL_MAX_WORK
     )
     if use_matmul:

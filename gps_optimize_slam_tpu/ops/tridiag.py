@@ -16,6 +16,13 @@ re-expressed as an associative scan → O(M) work, O(log M) depth, pure XLA:
 Rows with a_i = c_i = 0 (identity/passive rows, segment boundaries) reset
 all three recurrences, so independent segments decouple exactly — no
 special casing needed.
+
+Off-CPU each scan runs as ONE Pallas VMEM ladder (ops.pallas_scan) instead
+of ~2·log₂n slice/combine fusion rounds — the spline solve is
+latency-bound on those rounds at production sizes (measured 0.69 ms for
+the three lax scans at all-KITTI batch shapes). The Möbius identity is
+projective (the combine normalises), which the ladder's identity padding
+respects because the consumed quantity b' = p00/p10 is scale-invariant.
 """
 
 from __future__ import annotations
@@ -24,6 +31,19 @@ import jax
 import jax.numpy as jnp
 
 from gps_optimize_slam_tpu.utils.precision import highp
+
+_MOBIUS_IDENTITY = (1.0, 0.0, 0.0, 1.0)
+
+
+def _scan_impl(platform: str, identity):
+    """lax.associative_scan on CPU; the single-kernel Pallas ladder (with
+    lax fallback for ineligible trees) elsewhere. ``platform`` must be the
+    COMPILE platform (resolved by the caller — see utils.backend)."""
+    if platform not in ("cpu",):
+        from gps_optimize_slam_tpu.ops.pallas_scan import make_scan_fn
+
+        return make_scan_fn(identity)
+    return jax.lax.associative_scan
 
 
 def _mobius_combine(e1, e2):
@@ -59,30 +79,37 @@ def tridiag_solve(
     b: jnp.ndarray,  # (n,) diagonal
     c: jnp.ndarray,  # (n,) super-diagonal (c[-1] ignored/0)
     d: jnp.ndarray,  # (n, k) right-hand sides
+    platform: str = "cpu",
 ) -> jnp.ndarray:
-    """Solve the tridiagonal system in O(log n) depth. Multi-RHS."""
+    """Solve the tridiagonal system in O(log n) depth. Multi-RHS.
+
+    ``platform`` gates the single-kernel Pallas ladder swap for the three
+    scans and must name the COMPILE platform (callers resolve — "cpu" keeps
+    plain lax, the exact path golden tests pin)."""
     n = b.shape[0]
     dtype = b.dtype
+    k = d.shape[1]
+    mobius_scan = _scan_impl(platform, _MOBIUS_IDENTITY)
+    affine_scan = _scan_impl(platform, (1.0, (0.0,) * k))
 
     # --- 1. pivots b' via projective prefix products (SoA components) ---
     a0 = a.at[0].set(0.0)
     cm1 = jnp.concatenate([jnp.zeros((1,), dtype), c[:-1]])  # c_{i-1}
     # T_i = [[b_i, -a_i·c_{i-1}], [1, 0]]; T_i · [b'_{i-1}, 1]ᵀ ∝ [b'_i, 1]ᵀ
     T = (b, -a0 * cm1, jnp.ones((n,), dtype), jnp.zeros((n,), dtype))
-    p00, _, p10, _ = jax.lax.associative_scan(_mobius_combine, T)
+    p00, _, p10, _ = mobius_scan(_mobius_combine, T)
     # Apply to the initial homogeneous vector [1, 0]ᵀ.
     bp = p00 / p10
 
     # --- 2. forward-eliminated RHS d' (affine scan, per-column leaves) ---
-    k = d.shape[1]
     d_cols = tuple(d[:, i] for i in range(k))
     bpm1 = jnp.concatenate([jnp.ones((1,), dtype), bp[:-1]])
     alpha = -(a0 / bpm1)
-    _, dp = jax.lax.associative_scan(_affine_combine, (alpha, d_cols))
+    _, dp = affine_scan(_affine_combine, (alpha, d_cols))
 
     # --- 3. back substitution (reverse affine scan) ---
     alpha_b = (-c / bp).at[-1].set(0.0)
     inv_bp = 1.0 / bp
     beta_b = tuple(x * inv_bp for x in dp)
-    _, x = jax.lax.associative_scan(_affine_combine, (alpha_b, beta_b), reverse=True)
+    _, x = affine_scan(_affine_combine, (alpha_b, beta_b), reverse=True)
     return jnp.stack(x, axis=-1)

@@ -273,3 +273,39 @@ def test_matmul_gather_path_bit_exact():
     tv = np.asarray(take.aligned)[np.asarray(take.valid)]
     mv = np.asarray(mm.aligned)[np.asarray(mm.valid)]
     np.testing.assert_array_equal(tv, mv)
+
+
+def test_segment_structure_fused_ladders_match_lax(monkeypatch):
+    """The off-CPU fused f32 scan path of _segment_structure returns
+    BIT-IDENTICAL segment structure to the exact-int lax path (all
+    propagated values are integers < 2^24 or knot times), verified in
+    interpret mode across gaps, bad steps, NaN knots, and padding."""
+    import jax
+    from gps_optimize_slam_tpu.ops import alignment as al
+    from gps_optimize_slam_tpu.ops import pallas_scan, tridiag
+
+    real_impl = tridiag._scan_impl
+
+    def fake_impl(platform, identity):
+        if platform not in ("cpu",):
+            return pallas_scan.make_scan_fn(identity, interpret=True)
+        return real_impl(platform, identity)
+
+    monkeypatch.setattr(tridiag, "_scan_impl", fake_impl)
+
+    rng = np.random.default_rng(5)
+    for trial in range(4):
+        m = int(rng.integers(40, 400))
+        dt = rng.choice(
+            [0.1, 0.1, 0.1, 0.0, 7.0], size=m - 1,
+            p=[0.6, 0.2, 0.1, 0.05, 0.05],
+        )
+        t = np.concatenate([[0.0], np.cumsum(dt)]).astype(np.float32)
+        n_eff = int(rng.integers(m // 2, m + 1))
+        t[n_eff:] = np.inf  # padding sentinel
+        if n_eff > 3:
+            t[n_eff - 2] = np.nan  # valid-flagged NaN knot
+        ref = al._segment_structure(jnp.asarray(t), n_eff, 3.0, platform="cpu")
+        got = al._segment_structure(jnp.asarray(t), n_eff, 3.0, platform="tpu")
+        for r, g in zip(ref, got):
+            np.testing.assert_array_equal(np.asarray(r), np.asarray(g))

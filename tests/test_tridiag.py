@@ -111,3 +111,47 @@ def test_spline_tridiagonal_large_scale():
     )
     err = np.abs(np.asarray(out.aligned) - truth).max()
     assert err < 1e-4, err
+
+
+def test_tridiag_pallas_ladder_matches_lax(monkeypatch):
+    """tridiag_solve(platform != cpu) swaps its three scans onto the
+    single-kernel Pallas ladders; verified in interpret mode against the
+    lax path (reassociation changes f32 rounding only)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gps_optimize_slam_tpu.ops import tridiag
+    from gps_optimize_slam_tpu.ops import pallas_scan
+
+    real_impl = tridiag._scan_impl
+
+    def fake_impl(platform, identity):
+        if platform not in ("cpu",):
+            return pallas_scan.make_scan_fn(identity, interpret=True)
+        return real_impl(platform, identity)
+
+    monkeypatch.setattr(tridiag, "_scan_impl", fake_impl)
+
+    rng = np.random.default_rng(0)
+    n = 700
+    a = rng.uniform(0.1, 0.4, n)
+    b = rng.uniform(1.5, 2.5, n)
+    c = rng.uniform(0.1, 0.4, n)
+    d = rng.normal(size=(n, 3))
+    # Passive identity rows decouple segments — include some.
+    a[0] = c[-1] = 0.0
+    a[200] = c[199] = 0.0
+    f32 = jnp.float32
+    want = np.asarray(
+        tridiag.tridiag_solve(
+            jnp.asarray(a, f32), jnp.asarray(b, f32), jnp.asarray(c, f32),
+            jnp.asarray(d, f32), platform="cpu",
+        )
+    )
+    got = np.asarray(
+        tridiag.tridiag_solve(
+            jnp.asarray(a, f32), jnp.asarray(b, f32), jnp.asarray(c, f32),
+            jnp.asarray(d, f32), platform="tpu",
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
