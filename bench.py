@@ -620,7 +620,9 @@ def main():
 
     def run():
         out = fusion.fuse_core(*args, config=cfg)
-        jax.block_until_ready(out.corrected_pos)
+        # Force a host transfer: on the tunneled bench TPU block_until_ready
+        # can return before execution finishes, silently timing dispatch only.
+        np.asarray(out.corrected_pos)
         return out
 
     out = run()  # compile + warm
@@ -651,15 +653,15 @@ def main():
         return chained
 
     c1, c2 = make_chained(K), make_chained(2 * K)
-    jax.block_until_ready(c1(jax.random.PRNGKey(1)))
-    jax.block_until_ready(c2(jax.random.PRNGKey(1)))
+    np.asarray(c1(jax.random.PRNGKey(1)))  # host fetch = real sync (see run())
+    np.asarray(c2(jax.random.PRNGKey(1)))
     t1s, t2s = [], []
     for _ in range(5):
         t0 = time.perf_counter()
-        jax.block_until_ready(c1(jax.random.PRNGKey(1)))
+        np.asarray(c1(jax.random.PRNGKey(1)))
         t1s.append((time.perf_counter() - t0) * 1e3)
         t0 = time.perf_counter()
-        jax.block_until_ready(c2(jax.random.PRNGKey(1)))
+        np.asarray(c2(jax.random.PRNGKey(1)))
         t2s.append((time.perf_counter() - t0) * 1e3)
     wall_ms = (float(np.median(t2s)) - float(np.median(t1s))) / K
     n_poses = len(slam["timestamps"])

@@ -37,11 +37,16 @@ def make_sequences(n_seqs=4, base_n=90):
 
 
 def test_vmapped_batch_matches_individual():
-    slams, gts, gps_list, valids = make_sequences()
+    # base_n=60 shares the padded batch shape (and so the compiled program,
+    # within this module) with test_batched_evaluation below.
+    slams, gts, gps_list, valids = make_sequences(n_seqs=4, base_n=60)
     b = pbatch.pad_batch(slams, gts, gps_list, valids)
     keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(4))
     out = pmesh.fuse_batch(b, keys, dtype=jnp.float64)
-    for i in range(4):
+    # Two spot sequences (shortest + longest) instead of all four: each
+    # standalone fuse_core is a distinct-length program compile, and the
+    # padding-equivalence evidence is identical for the middle lengths.
+    for i in (0, 3):
         single = fusion.fuse_core(
             jnp.asarray(slams[i]["timestamps"]),
             jnp.asarray(slams[i]["positions"]),
