@@ -212,10 +212,12 @@ def plot_fusion_result(
 
     fig._layer_artists = layers
     fig._layer_axes = (ax1, ax2)
+    # Layout BEFORE mounting the CheckButtons: their inset axes live in
+    # figure coordinates and are not tight_layout-compatible (mounting
+    # first triggers a matplotlib incompatibility warning).
+    fig.tight_layout(rect=[0, 0, 1, 0.95])
     if interactive or show:
         _mount_layer_checkbuttons(fig)
-
-    fig.tight_layout(rect=[0, 0, 1, 0.95])
     if out_path is not None:
         fig.savefig(out_path, dpi=dpi)
     if show:
