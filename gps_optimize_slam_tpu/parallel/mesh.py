@@ -143,6 +143,9 @@ def estimate_offsets_batch(
         np.asarray(batch.gps_valid),
     )
     if mesh is None:
+        # No mesh → the process-default backend IS the intended target
+        # (single-device use); hermeticity obligations only exist when a
+        # caller named a mesh (then everything below stages onto it).
         args = tuple(jnp.asarray(a) for a in host_args)
     else:
         b = host_args[0].shape[0]
@@ -232,6 +235,8 @@ def stage_batch(
         # NumPy staged straight onto the target sharding — nothing
         # dispatches on the DEFAULT backend, so a CPU mesh works even when
         # the default accelerator platform is broken or absent.
+        # (mesh=None → default backend is the intended single-device target;
+        # with a mesh, device_put onto the NamedSharding keeps this hermetic.)
         args.append(jax.device_put(h, shard) if shard is not None else jnp.asarray(h))
     # Host sortedness check, once per staging (same check pipeline.fuse_arrays
     # applies): nondecreasing valid GPS times let fuse_batch skip the

@@ -203,7 +203,9 @@ def fuse_ekf_rts_seqparallel(
     d = mesh.devices.size
     n = slam_times.shape[0]
     n_pad = _pad_for_mesh(n, d)
-    dtype = jnp.asarray(slam_pos).dtype
+    # dtype probe must not materialize an array (jnp.asarray would dispatch
+    # an eager convert on the DEFAULT backend — the MULTICHIP_r04 failure).
+    dtype = jnp.result_type(slam_pos)
 
     def pad_repeat(x):
         """Repeat the last row (zero motion) out to the mesh multiple."""
@@ -212,22 +214,31 @@ def fuse_ekf_rts_seqparallel(
             return x
         return jnp.concatenate([x, jnp.repeat(x[-1:], n_pad - n, axis=0)])
 
-    st = jnp.asarray(slam_times, dtype)
-    if n_pad != n:
-        # Strictly increasing padded timestamps keep dt > 0 (controls/Qd).
-        tail = st[-1] + 1e-3 * jnp.arange(1, n_pad - n + 1, dtype=dtype)
-        st = jnp.concatenate([st, tail])
-    sp, sq, s3p, s3q = map(pad_repeat, (slam_pos, slam_quat, sim3_pos, sim3_quat))
-    gz = jnp.asarray(aligned_gps, dtype)
-    gv = jnp.asarray(valid_mask, bool)
-    if n_pad != n:
-        gz = jnp.concatenate([gz, jnp.full((n_pad - n, 3), jnp.nan, dtype)])
-        gv = jnp.concatenate([gv, jnp.zeros(n_pad - n, bool)])
+    # Mesh-platform hermeticity: every eager creation/convert below
+    # (asarray, arange, full, zeros, concatenate on uncommitted operands)
+    # would otherwise run on the process-default backend, which may be a
+    # broken/absent accelerator when the mesh is a virtual-CPU dry run.
+    # Scoping default_device to a mesh device commits them all to the mesh
+    # platform; the explicit NamedSharding device_put then distributes.
+    with jax.default_device(mesh.devices.flat[0]):
+        st = jnp.asarray(slam_times, dtype)
+        if n_pad != n:
+            # Strictly increasing padded timestamps keep dt > 0 (controls/Qd).
+            tail = st[-1] + 1e-3 * jnp.arange(1, n_pad - n + 1, dtype=dtype)
+            st = jnp.concatenate([st, tail])
+        sp, sq, s3p, s3q = map(
+            pad_repeat, (slam_pos, slam_quat, sim3_pos, sim3_quat)
+        )
+        gz = jnp.asarray(aligned_gps, dtype)
+        gv = jnp.asarray(valid_mask, bool)
+        if n_pad != n:
+            gz = jnp.concatenate([gz, jnp.full((n_pad - n, 3), jnp.nan, dtype)])
+            gv = jnp.concatenate([gv, jnp.zeros(n_pad - n, bool)])
 
-    shard = NamedSharding(mesh, P(axis_name))
-    st, sp, sq, s3p, s3q, gz, gv = (
-        jax.device_put(x, shard) for x in (st, sp, sq, s3p, s3q, gz, gv)
-    )
+        shard = NamedSharding(mesh, P(axis_name))
+        st, sp, sq, s3p, s3q, gz, gv = (
+            jax.device_put(x, shard) for x in (st, sp, sq, s3p, s3q, gz, gv)
+        )
 
     scan_fn = sequence_parallel_scan(mesh, axis_name)
 
@@ -240,4 +251,8 @@ def fuse_ekf_rts_seqparallel(
         )
 
     pos, quat_out = run(st, sp, sq, s3p, s3q, gz, gv, rts_mode)
-    return pos[:n], quat_out[:n]
+    # The unpad slice also runs EAGERLY: its index constants would be
+    # created on the process-default backend (the same leak class as the
+    # padding above), so keep it scoped to the mesh.
+    with jax.default_device(mesh.devices.flat[0]):
+        return pos[:n], quat_out[:n]
