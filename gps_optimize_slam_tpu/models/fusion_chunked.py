@@ -71,10 +71,10 @@ def transform_trajectory_chunked(
     if out_quat is None:
         out_quat = np.empty((n, 4), dtype)
     kernel = _transform_kernel(dtype.name)
-    jdt = jnp.dtype(dtype.name)
-    R = jnp.asarray(np.asarray(sim3.R), jdt)
-    t = jnp.asarray(np.asarray(sim3.t), jdt)
-    s = jnp.asarray(np.asarray(sim3.scale), jdt)
+    # device_put of host-converted params (no eager per-op convert compiles)
+    R = jax.device_put(np.asarray(np.asarray(sim3.R), dtype))
+    t = jax.device_put(np.asarray(np.asarray(sim3.t), dtype))
+    s = jax.device_put(np.asarray(np.asarray(sim3.scale), dtype))
 
     def _stage(ab):
         a, b = ab
@@ -332,10 +332,9 @@ def _evaluate_streamed(
     aligned = np.asarray(aligned)
 
     tkernel = _transform_kernel(dtype.name)
-    jdt = jnp.dtype(dtype.name)
-    R = jnp.asarray(np.asarray(result.sim3.R), jdt)
-    t = jnp.asarray(np.asarray(result.sim3.t), jdt)
-    s = jnp.asarray(np.asarray(result.sim3.scale), jdt)
+    R = jax.device_put(np.asarray(np.asarray(result.sim3.R), dtype))
+    t = jax.device_put(np.asarray(np.asarray(result.sim3.t), dtype))
+    s = jax.device_put(np.asarray(np.asarray(result.sim3.scale), dtype))
 
     def slam_chunk(a, b):
         return slam_pos[a:b]

@@ -356,15 +356,12 @@ def gated_availability_chunked(
     nis_all = np.zeros(n, dtype)
     accepted[0] = bool(avail_eval[0])
 
-    params = kalman.ekf_params(ekf_cfg, dtype=jnp.dtype(jdt))
-    P0_diag = np.diag(np.asarray(params.P0))[:3]
+    # Host-NumPy prior build (see kalman_chunked._identity_fwd): the eager
+    # on-device form compiled ~10 per-op programs per fusion.
+    P0_diag = np.asarray(ekf_cfg.initial_cov_diag, dtype)[:3]
     kern = _gate_chunk_kernel(ekf_cfg, jdt, scan_fn, platform)
     q_carry = jax.device_put(np.asarray(init_quat, dtype))
-    elem_carry = _identity_fwd(
-        jnp.asarray(np.asarray(init_pos, dtype)),
-        jnp.asarray(P0_diag, jdt),
-        jnp.dtype(jdt),
-    )
+    elem_carry = _identity_fwd(np.asarray(init_pos, dtype), P0_diag, jdt)
     gate = jax.device_put(np.asarray(gate_chi2, dtype))
     L = int(chunk_size)
 

@@ -318,41 +318,70 @@ class StreamingSim3Result(NamedTuple):
 
 
 @lru_cache(maxsize=8)
-def _inlier_chunk_kernel(dtype_name: str):
-    dtype = jnp.dtype(dtype_name)
+def _ransac_kernel(cfg: Sim3RansacConfig, dtype_name: str, platform: str):
+    """In-core trial voting as ONE jitted program. Called eagerly from the
+    streaming driver, ``ransac.sim3_ransac``'s dozens of constituent ops
+    would each compile as a separate per-op XLA program (~0.5-1 s apiece on
+    a tunneled TPU — the bulk of the round-4 chunked cold start of 180 s)."""
 
     @jax.jit
-    def kernel(src, dst, mask, R, t, s, thr2):
-        pred = s * (src.astype(dtype) @ R.T.astype(dtype)) + t.astype(dtype)
-        res2 = jnp.sum((pred - dst.astype(dtype)) ** 2, axis=-1)
-        return (res2 < thr2) & mask
+    def kernel(key, src, dst):
+        return ransac.sim3_ransac(key, src, dst, cfg=cfg, platform=platform)
 
     return kernel
 
 
 @lru_cache(maxsize=8)
 def _moment_chunk_kernel(dtype_name: str):
+    """Streamed two-pass Umeyama moment kernels with the running
+    accumulators FOLDED IN: one jitted program per pass per chunk shape,
+    instead of per-op eager compiles for the inlier test, the weighted
+    sums, and the accumulator adds."""
     dtype = jnp.dtype(dtype_name)
 
     @jax.jit
-    def sums(src, dst, w):
-        w = w.astype(dtype)
+    def pass1(src, dst, R, t, s, thr2, acc_w, acc_s, acc_d):
+        src = src.astype(dtype)
+        dst = dst.astype(dtype)
+        pred = s * (src @ R.T.astype(dtype)) + t.astype(dtype)
+        res2 = jnp.sum((pred - dst) ** 2, axis=-1)
+        w = res2 < thr2
+        wf = w.astype(dtype)
         return (
-            jnp.sum(w),
-            jnp.sum(w[:, None] * src.astype(dtype), axis=0),
-            jnp.sum(w[:, None] * dst.astype(dtype), axis=0),
+            w,
+            acc_w + jnp.sum(wf),
+            acc_s + wf @ src,
+            acc_d + wf @ dst,
         )
 
     @jax.jit
-    def centered(src, dst, w, mu_s, mu_d):
-        w = w.astype(dtype)
+    def pass2(src, dst, w, wsum, ssum, dsum, acc_H, acc_v):
+        wf = w.astype(dtype)
+        mu_s = ssum / jnp.maximum(wsum, 1.0)
+        mu_d = dsum / jnp.maximum(wsum, 1.0)
         sc = src.astype(dtype) - mu_s
         dc = dst.astype(dtype) - mu_d
-        H = jnp.einsum("ni,nj->ij", w[:, None] * sc, dc)
-        var = jnp.sum(w * jnp.sum(sc**2, axis=-1))
-        return H, var
+        H = jnp.einsum("ni,nj->ij", wf[:, None] * sc, dc)
+        var = jnp.sum(wf * jnp.sum(sc**2, axis=-1))
+        return acc_H + H, acc_v + var
 
-    return sums, centered
+    return pass1, pass2
+
+
+@lru_cache(maxsize=8)
+def _refit_kernel(dtype_name: str):
+    """Final Umeyama-from-moments refit as ONE jitted program. The eager
+    form re-traces its Jacobi-SVD ``lax.scan`` on every call (eager scan
+    jaxprs never hit the primitive-callable cache), recompiling even on
+    warm passes."""
+
+    @jax.jit
+    def kernel(wsum, ssum, dsum, H, var):
+        mu_s = ssum / jnp.maximum(wsum, 1.0)
+        mu_d = dsum / jnp.maximum(wsum, 1.0)
+        return umeyama_sim3_from_moments(wsum, mu_s, mu_d, H, var)
+
+    return kernel
 
 
 def sim3_ransac_streaming(
@@ -392,11 +421,15 @@ def sim3_ransac_streaming(
             subsampled=False,
         )
 
+    from gps_optimize_slam_tpu.utils.backend import resolve_platform
+
+    platform = resolve_platform(platform)
     subsampled = n_win > max_ransac_points
     sub = idx[:: -(-n_win // max_ransac_points)] if subsampled else idx
-    src_s = jnp.asarray(np.asarray(src)[sub], jnp.dtype(dtype.name))
-    dst_s = jnp.asarray(np.asarray(dst)[sub], jnp.dtype(dtype.name))
-    res = ransac.sim3_ransac(key, src_s, dst_s, cfg=cfg, platform=platform)
+    # device_put (no eager convert): staging must not compile per-op.
+    src_s = jax.device_put(np.asarray(np.asarray(src)[sub], dtype))
+    dst_s = jax.device_put(np.asarray(np.asarray(dst)[sub], dtype))
+    res = _ransac_kernel(cfg, dtype.name, platform)(key, src_s, dst_s)
     if not subsampled:
         # Everything fit in-core: the in-core result IS the exact answer.
         return StreamingSim3Result(
@@ -407,22 +440,27 @@ def sim3_ransac_streaming(
         )
 
     # Streaming refit on ALL window points: winner-model inliers per chunk,
-    # two-pass moment accumulation (centroids, then centered H / var).
+    # two-pass moment accumulation (centroids, then centered H / var). All
+    # device work runs through THREE cached jitted kernels — staging via
+    # device_put and host NumPy glue only, so the eager path compiles
+    # nothing per-op (tunneled-TPU per-op compiles were the r04 cold-start).
     win_sim3 = res.sim3
-    R = jnp.asarray(np.asarray(win_sim3.R), jnp.dtype(dtype.name))
-    t = jnp.asarray(np.asarray(win_sim3.t), jnp.dtype(dtype.name))
-    s = jnp.asarray(np.asarray(win_sim3.scale), jnp.dtype(dtype.name))
-    thr2 = dtype.type(cfg.residual_threshold**2)
-    inl_k = _inlier_chunk_kernel(dtype.name)
-    sums_k, centered_k = _moment_chunk_kernel(dtype.name)
+    R = jax.device_put(np.asarray(np.asarray(win_sim3.R), dtype))
+    t = jax.device_put(np.asarray(np.asarray(win_sim3.t), dtype))
+    s = jax.device_put(np.asarray(np.asarray(win_sim3.scale), dtype))
+    thr2 = jax.device_put(dtype.type(cfg.residual_threshold**2))
+    pass1_k, pass2_k = _moment_chunk_kernel(dtype.name)
 
     src_np = np.asarray(src)
     dst_np = np.asarray(dst)
     chunks = []
-    jdt = jnp.dtype(dtype.name)
     # Pipelined (utils.streaming); the scalar/3-vector moment accumulators
     # stay device-side so the per-chunk reductions never block the stream.
-    acc = {"w": jnp.zeros((), jdt), "s": jnp.zeros(3, jdt), "d": jnp.zeros(3, jdt)}
+    acc = {
+        "w": jax.device_put(np.zeros((), dtype)),
+        "s": jax.device_put(np.zeros(3, dtype)),
+        "d": jax.device_put(np.zeros(3, dtype)),
+    }
 
     def _m1_stage(ci):
         return (
@@ -432,11 +470,9 @@ def sim3_ransac_streaming(
 
     def _m1_launch(ci, staged):
         sc, dc = staged
-        w = inl_k(sc, dc, jnp.ones(len(ci), bool), R, t, s, thr2)
-        cw, cs, cd = sums_k(sc, dc, w)
-        acc["w"] = acc["w"] + cw
-        acc["s"] = acc["s"] + cs
-        acc["d"] = acc["d"] + cd
+        w, acc["w"], acc["s"], acc["d"] = pass1_k(
+            sc, dc, R, t, s, thr2, acc["w"], acc["s"], acc["d"]
+        )
         return w
 
     streaming.stream_chunks(
@@ -445,10 +481,8 @@ def sim3_ransac_streaming(
         _m1_launch,
         lambda ci, w: chunks.append((ci, np.asarray(w))),
     )
-    wsum = np.asarray(acc["w"])
-    ssum = np.asarray(acc["s"])
-    dsum = np.asarray(acc["d"])
-    n_inl = int(wsum)
+    wsum, ssum, dsum = acc["w"], acc["s"], acc["d"]
+    n_inl = int(np.asarray(wsum))
     if n_inl < cfg.min_inliers_needed:
         return StreamingSim3Result(
             sim3=Sim3(R=R, t=t, scale=s, ok=jnp.asarray(False)),
@@ -456,9 +490,10 @@ def sim3_ransac_streaming(
             num_window=n_win,
             subsampled=True,
         )
-    mu_s = jnp.asarray(ssum / max(wsum, 1.0))
-    mu_d = jnp.asarray(dsum / max(wsum, 1.0))
-    acc2 = {"H": jnp.zeros((3, 3), jdt), "v": jnp.zeros((), jdt)}
+    acc2 = {
+        "H": jax.device_put(np.zeros((3, 3), dtype)),
+        "v": jax.device_put(np.zeros((), dtype)),
+    }
 
     def _m2_stage(cw):
         ci, w = cw
@@ -470,16 +505,12 @@ def sim3_ransac_streaming(
 
     def _m2_launch(cw, staged):
         sc, dc, wd = staged
-        Hc, vc = centered_k(sc, dc, wd, mu_s, mu_d)
-        acc2["H"] = acc2["H"] + Hc
-        acc2["v"] = acc2["v"] + vc
+        acc2["H"], acc2["v"] = pass2_k(
+            sc, dc, wd, wsum, ssum, dsum, acc2["H"], acc2["v"]
+        )
 
     streaming.stream_chunks(chunks, _m2_stage, _m2_launch, None)
-    H = acc2["H"]
-    var = acc2["v"]
-    refit = umeyama_sim3_from_moments(
-        jnp.asarray(wsum), mu_s, mu_d, jnp.asarray(H), jnp.asarray(var)
-    )
+    refit = _refit_kernel(dtype.name)(wsum, ssum, dsum, acc2["H"], acc2["v"])
     ok = jnp.asarray(bool(refit.ok) and n_inl >= cfg.min_inliers_needed)
     return StreamingSim3Result(
         sim3=Sim3(R=refit.R, t=refit.t, scale=refit.scale, ok=ok),

@@ -144,11 +144,15 @@ def _unpack_fwd(v):
 
 
 def _identity_fwd(m0, P0_diag, dtype):
-    """The prior element (A=0, b=m₀, C=P₀, η=0, J=0) as a flat carry."""
-    v = jnp.zeros((27,), dtype)
-    v = v.at[9].set(m0[0]).at[10].set(m0[1]).at[11].set(m0[2])
-    v = v.at[12].set(P0_diag[0]).at[15].set(P0_diag[1]).at[17].set(P0_diag[2])
-    return v
+    """The prior element (A=0, b=m₀, C=P₀, η=0, J=0) as a flat DEVICE carry.
+
+    Built in host NumPy + device_put: the drivers call this eagerly once per
+    fusion, and an on-device .at[].set build would compile several per-op
+    XLA programs (seconds each over a tunneled TPU)."""
+    v = np.zeros(27, np.dtype(jnp.dtype(dtype).name))
+    v[9:12] = np.asarray(m0)
+    v[12], v[15], v[17] = np.asarray(P0_diag)[:3]
+    return jax.device_put(v)
 
 
 def _filter_step_elements(avail, d, Qd_diag, zs, R_diag, dtype):
@@ -344,16 +348,16 @@ def fuse_ekf_rts_chunked(
     d_all = np.empty((max(n - 1, 0), 3), dtype)
     Qd_all = np.empty((max(n - 1, 0), 3), dtype)
 
-    import jax.numpy as jnp_  # params init on device
-
-    params = ekf_params(ekf_cfg, dtype=jnp_.dtype(jdt))
-    P0_diag = np.diag(np.asarray(params.P0))[:3]
+    # Prior carries built in HOST NumPy + device_put: the eager on-device
+    # form (ekf_params diag + _identity_fwd .at sets) compiled ~10 per-op
+    # XLA programs — ~10 s of a tunneled-TPU cold start for two tiny arrays.
+    P0_diag = np.asarray(ekf_cfg.initial_cov_diag, dtype)[:3]
 
     fwd = _fwd_kernel(ekf_cfg, jdt, scan_fn, platform)
     q0 = np.asarray(sim3_quat0, dtype)
     m0 = np.asarray(sim3_pos0, dtype)
     q_carry = jax.device_put(q0)
-    elem_carry = _identity_fwd(jnp_.asarray(m0), jnp_.asarray(P0_diag, jdt), jnp_.dtype(jdt))
+    elem_carry = _identity_fwd(m0, P0_diag, jdt)
 
     # Pose 0 outputs.
     out_pos[0] = m0

@@ -273,6 +273,67 @@ def reference_window_starts(times, cfg: GPSFilterConfig):
     return np.asarray(starts)
 
 
+def window_starts_device(
+    times: jnp.ndarray,
+    cfg: GPSFilterConfig,
+    max_windows: int,
+    valid: Optional[jnp.ndarray] = None,
+):
+    """Device-side exact equivalent of :func:`reference_window_starts`.
+
+    The reference's while-loop (EKFGPSSLAM.py:199-237) re-expressed as a
+    ``lax.scan`` over ``max_windows`` static steps: the same accumulation
+    order (``cur += step``), the same degenerate-step jump to the next
+    distinct timestamp, and the same tail-window adjustment arithmetic —
+    bit-exact against the host loop at matching dtype for nondecreasing
+    ``times`` (the reference's precondition; first/last element become a
+    masked min/max here so padded batch rows work), so the batched/mesh
+    preprocessing path needs no host loop. jit/vmap-safe (static shapes).
+
+    ``valid``: optional (m,) mask for padded batched rows — the first/last
+    time and the next-distinct search honour only valid entries.
+
+    Returns ``(starts, count)``: (max_windows,) NaN-padded start times and
+    the number emitted. If the true window count exceeds ``max_windows``
+    the output is truncated (count == max_windows); size the bound from
+    the data (≈ span/step + span/step tail terms) or assert on count.
+    """
+    times = jnp.asarray(times)
+    m = times.shape[0]
+    dtype = times.dtype
+    if valid is None:
+        valid = jnp.ones((m,), bool)
+    if m == 0:
+        return jnp.full((max_windows,), jnp.nan, dtype), jnp.zeros((), jnp.int32)
+    big = jnp.asarray(jnp.inf, dtype)
+    t0 = jnp.min(jnp.where(valid, times, big))
+    end = jnp.max(jnp.where(valid, times, -big))
+    duration = cfg.window_duration_seconds
+    step = duration * cfg.window_step_factor
+    degenerate = step <= 1e-6  # static (config) branch, like the reference
+
+    def body(carry, _):
+        cur, active = carry
+        emit = active & (cur < end)
+        start = jnp.where(emit, cur, jnp.nan)
+        if degenerate:
+            # Jump to the next distinct valid timestamp; no next ⇒ the
+            # reference breaks BEFORE the tail adjustment.
+            nxt = jnp.min(jnp.where(valid & (times > cur), times, big))
+            alive = emit & jnp.isfinite(nxt)
+        else:
+            nxt = cur + step
+            alive = emit
+        adjust = (nxt >= end) & (end >= cur + duration)
+        nxt = jnp.where(adjust, jnp.maximum(t0, end - duration + 1e-6), nxt)
+        return (nxt, alive), start
+
+    (_, _), starts = jax.lax.scan(
+        body, (t0, jnp.any(valid)), None, length=max_windows
+    )
+    return starts, jnp.sum(jnp.isfinite(starts)).astype(jnp.int32)
+
+
 def _poly_design(t: jnp.ndarray, degree: int) -> jnp.ndarray:
     return jnp.stack([t**d for d in range(degree + 1)], axis=-1)
 

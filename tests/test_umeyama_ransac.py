@@ -386,3 +386,79 @@ def test_pallas_count_rerank_pins_winner(monkeypatch):
         np.asarray(got.sim3.t), np.asarray(want.sim3.t), rtol=0, atol=0
     )
     assert int(got.num_inliers) == int(want.num_inliers)
+
+
+def _device_starts(times, cfg, max_w=256, valid=None):
+    starts, count = ransac.window_starts_device(
+        jnp.asarray(times), cfg, max_w, valid=valid
+    )
+    starts = np.asarray(starts)
+    count = int(count)
+    assert count < max_w, "bound too small for an exact-match comparison"
+    assert np.all(np.isfinite(starts[:count])) and np.all(
+        np.isnan(starts[count:])
+    ), "starts must be front-compacted with NaN padding"
+    return starts[:count]
+
+
+def test_window_starts_device_matches_host_on_fixture():
+    """Exact match (bitwise in f64) vs the host while-loop on the seq-04
+    GNSS timestamps, across step factors incl. tail-adjustment regimes."""
+    gps = np.loadtxt(reference_fixture("combined_output.txt"))
+    t = gps[:, 0]
+    for factor in (0.5, 0.25, 1.0, 3.0):
+        cfg = GPSFilterConfig(window_step_factor=factor)
+        host = ransac.reference_window_starts(t, cfg)
+        dev = _device_starts(t, cfg)
+        np.testing.assert_array_equal(dev, host)
+
+
+def test_window_starts_device_degenerate_step_and_repeats():
+    """step ≤ 1e-6 (window_step_factor=0) walks distinct timestamps; with
+    repeated timestamps the jump must skip duplicates exactly like the
+    host loop, including the no-next break before the tail adjustment."""
+    t = np.repeat(np.asarray([0.0, 0.1, 0.1, 0.4, 1.3, 1.3, 1.3, 2.0, 5.0]), 2)
+    for duration in (0.5, 3.0, 10.0):
+        cfg = GPSFilterConfig(
+            window_step_factor=0.0, window_duration_seconds=duration
+        )
+        host = ransac.reference_window_starts(t, cfg)
+        dev = _device_starts(t, cfg)
+        np.testing.assert_array_equal(dev, host)
+
+
+def test_window_starts_device_tail_window_and_edges():
+    cfg = GPSFilterConfig(window_duration_seconds=7.0, window_step_factor=0.6)
+    # Irregular span that exercises the tail snap + post-tail grid.
+    t = np.cumsum(np.abs(np.sin(np.arange(300))) * 0.3) + 5.0
+    np.testing.assert_array_equal(
+        _device_starts(t, cfg), ransac.reference_window_starts(t, cfg)
+    )
+    # Single timestamp / all-equal timestamps → no windows.
+    assert _device_starts(np.asarray([3.0]), cfg).size == 0
+    assert _device_starts(np.full(5, 3.0), cfg).size == 0
+    # Empty input.
+    starts, count = ransac.window_starts_device(jnp.zeros((0,)), cfg, 8)
+    assert int(count) == 0 and np.isnan(np.asarray(starts)).all()
+
+
+def test_window_starts_device_valid_mask_and_vmap():
+    """Padded batch rows: the mask restricts t0/end/distinct search; vmap
+    over a padded batch equals per-row host loops on the unpadded data."""
+    cfg = GPSFilterConfig(window_duration_seconds=5.0, window_step_factor=0.5)
+    rows = [
+        np.sort(np.random.default_rng(i).uniform(0, 30 + 7 * i, 40 + 10 * i))
+        for i in range(3)
+    ]
+    m = max(len(r) for r in rows)
+    tb = np.stack([np.pad(r, (0, m - len(r)), constant_values=1e9) for r in rows])
+    vb = np.stack(
+        [np.arange(m) < len(r) for r in rows]
+    )
+    starts_b, counts_b = jax.vmap(
+        lambda tt, vv: ransac.window_starts_device(tt, cfg, 64, valid=vv)
+    )(jnp.asarray(tb), jnp.asarray(vb))
+    for i, r in enumerate(rows):
+        host = ransac.reference_window_starts(r, cfg)
+        got = np.asarray(starts_b[i])[: int(counts_b[i])]
+        np.testing.assert_array_equal(got, host)
