@@ -48,6 +48,33 @@ class FusionOutputs(NamedTuple):
     ok: jnp.ndarray  # () bool — pipeline succeeded
 
 
+def _warn_if_sequential_scan_cliff(config: FusionConfig, use_parallel: bool) -> None:
+    """Performance-cliff warning: soft blending
+    (rts_decision.default_ekf_transition_steps_on_sharp_turn > 0) is a
+    data-dependent recursion no associative form covers, so ekf_scan='auto'
+    silently falls back to the O(N) sequential scan — on an accelerator
+    that is orders slower than the O(log N) path. Emitted at trace time,
+    naming the knob."""
+    if (
+        not use_parallel
+        and config.ekf_scan == "auto"
+        and config.platform != "cpu"
+        and config.rts_decision.default_ekf_transition_steps_on_sharp_turn != 0
+    ):
+        from gps_optimize_slam_tpu.utils.logging import get_logger
+
+        get_logger().warning(
+            "rts_decision.default_ekf_transition_steps_on_sharp_turn=%d "
+            "forces the SEQUENTIAL EKF scan on platform %r (the O(log N) "
+            "associative scan requires hard updates, i.e. 0). Expect an "
+            "O(N)-latency filter on this accelerator; set the knob to 0 "
+            "(the reference's effective value) or ekf_scan='sequential' "
+            "to silence this warning.",
+            config.rts_decision.default_ekf_transition_steps_on_sharp_turn,
+            config.platform,
+        )
+
+
 def fuse_core(
     slam_times: jnp.ndarray,
     slam_pos: jnp.ndarray,
@@ -159,6 +186,7 @@ def _fuse_core(
         and config.rts_decision.default_ekf_transition_steps_on_sharp_turn == 0
         and config.platform != "cpu"
     )
+    _warn_if_sequential_scan_cliff(config, use_parallel)
     kw = {"platform": config.platform} if use_parallel else {}
     fuse_fn = kalman_parallel.fuse_ekf_rts_parallel if use_parallel else kalman.fuse_ekf_rts
     corrected_pos, corrected_quat = fuse_fn(

@@ -47,6 +47,11 @@ class RobustFusionResult(NamedTuple):
     quaternions: jnp.ndarray  # (N,4)
     accepted: jnp.ndarray  # (N,) bool — measurements that survived the gate
     nis: jnp.ndarray  # (N,) normalised innovation squared (0 where no meas)
+    # () bool — the accept mask reached a fixed point within n_iterations.
+    # False means consecutive outlier clusters may still mask each other
+    # (decisions fold in one iteration late); rerun with more iterations.
+    # (python bool default: a jnp default here would dispatch at import)
+    gate_converged: jnp.ndarray = True
 
 
 @highp
@@ -187,11 +192,26 @@ def fuse_robust(
         from gps_optimize_slam_tpu.utils.backend import resolve_platform
 
         platform = resolve_platform()
-    return _fuse_robust(
+    res = _fuse_robust(
         slam_times, slam_pos, slam_quat, sim3_pos, sim3_quat, aligned_gps,
         valid_mask, ekf_cfg, rts_cfg, gate_chi2, n_iterations, scan, platform,
         gate_mode,
     )
+    # One scalar fetch: surface gate truncation at the user-facing boundary
+    # (heavily contaminated data where consecutive outlier clusters mask
+    # each other can need more than the default two passes).
+    import numpy as _np
+
+    if not bool(_np.asarray(res.gate_converged)):
+        from gps_optimize_slam_tpu.utils.logging import get_logger
+
+        get_logger().warning(
+            "robust gate accept mask did not reach a fixed point within "
+            "n_iterations=%d; rerun with a larger n_iterations (result "
+            "carries gate_converged=False).",
+            n_iterations,
+        )
+    return res
 
 
 @partial(
@@ -221,12 +241,38 @@ def _fuse_robust(
     avail = valid_mask & ~jnp.any(jnp.isnan(aligned_gps), axis=-1)
 
     gate_fn = _gated_availability if gate_mode == "sequential" else _parallel_nis
-    accepted, nis = avail, jnp.zeros(avail.shape, dtype)
-    for _ in range(n_iterations):
-        accepted, nis = gate_fn(
+
+    def gate_once(accepted):
+        return gate_fn(
             slam_times, slam_pos, slam_quat, sim3_pos[0], sim3_quat[0],
             aligned_gps, avail, accepted, params, gate_chi2, platform=platform,
         )
+
+    # Iterate the gate to a FIXED POINT of the accept mask, capped at
+    # n_iterations (lax.while_loop: converged masks exit early and pay no
+    # further scans). ``changed`` False on exit ⇒ the final pass left the
+    # mask unchanged ⇒ fixed point reached — otherwise the cap truncated
+    # the iteration and gate_converged is False (see RobustFusionResult;
+    # heavily contaminated data may need a larger n_iterations because
+    # parallel/chunked decisions only take effect one iteration late).
+    def cond(state):
+        i, _, _, changed = state
+        return (i < n_iterations) & changed
+
+    def body(state):
+        i, accepted, _, _ = state
+        new_accepted, new_nis = gate_once(accepted)
+        return (
+            i + 1,
+            new_accepted,
+            new_nis,
+            jnp.any(new_accepted != accepted),
+        )
+
+    _, accepted, nis, changed = jax.lax.while_loop(
+        cond, body, (0, avail, jnp.zeros(avail.shape, dtype), jnp.asarray(True))
+    )
+    gate_converged = ~changed
 
     use_parallel = scan == "parallel" or (
         scan == "auto"
@@ -243,7 +289,13 @@ def _fuse_robust(
         accepted, ekf_cfg, rts_cfg,
         **kw,
     )
-    return RobustFusionResult(positions=pos, quaternions=q, accepted=accepted, nis=nis)
+    return RobustFusionResult(
+        positions=pos,
+        quaternions=q,
+        accepted=accepted,
+        nis=nis,
+        gate_converged=gate_converged,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -442,12 +494,28 @@ def fuse_robust_chunked(
     ).any(-1)
     accepted = avail.copy()
     nis = np.zeros(n, dtype)
+    # Fixed-point iteration with early exit + truncation warning — the
+    # host-streamed mirror of _fuse_robust's while_loop (decisions fold in
+    # one iteration late, so unconverged masks can hide clustered outliers).
+    converged = True
     for _ in range(n_iterations):
+        prev = accepted
         accepted, nis = gated_availability_chunked(
             slam_times, slam_pos, slam_quat, sim3_pos0, sim3_quat0,
             aligned_gps, avail, accepted,
             ekf_cfg=ekf_cfg, gate_chi2=gate_chi2, chunk_size=chunk_size,
             dtype=dtype, scan_fn=scan_fn, platform=platform,
+        )
+        converged = bool(np.array_equal(accepted, prev))
+        if converged:
+            break
+    if not converged:
+        from gps_optimize_slam_tpu.utils.logging import get_logger
+
+        get_logger().warning(
+            "chunked robust gate accept mask did not reach a fixed point "
+            "within n_iterations=%d; rerun with a larger n_iterations.",
+            n_iterations,
         )
     gated_gps = np.where(accepted[:, None], np.asarray(aligned_gps), np.nan).astype(
         dtype

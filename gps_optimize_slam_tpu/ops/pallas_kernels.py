@@ -29,8 +29,15 @@ bound is ≤ its upper bound, which is ≥ the threshold's defining minimum),
 only provably-losing VPU work is elided. Measured tile-keep fractions at
 all-KITTI scale: ~4% on car-like (curvature-limited) trajectories, ~31%
 on an adversarial self-crossing random walk — i.e. 69-96% of the O(N·M)
-distance work is skipped; on isotropic point clouds (every segment box
-spans the cloud) nothing can be pruned and the kernel runs dense.
+distance COMPUTE (VPU work) is skipped. The saving is compute-only:
+``pl.when`` elides the tile body but the BlockSpec pipeline still DMAs
+every candidate block for every grid step, so HBM traffic is unchanged
+and the realizable speedup is bounded by the kernel's compute/bandwidth
+split (measured 5.66→2.6 ms on the trajectory workload — the compute
+share). If bandwidth becomes the limiter, the next lever is moving the
+candidate loop into the kernel with manual DMA gated on the keep mask.
+On isotropic point clouds (every segment box spans the cloud) nothing
+can be pruned and the kernel runs dense.
 """
 
 from __future__ import annotations

@@ -150,8 +150,15 @@ def sim3_ransac(
     # trials with EXACT counts (k·N elementwise work — negligible next to
     # the T·N counting pass) pins the winner to the exact formulation
     # whenever the true winner's approx count reaches the top-k; flips span
-    # 1-2 counts, so k=8 covers them with a wide margin.
-    RERANK_K = 8
+    # 1-2 counts (measured: bench ransac_flip_section, 0/100 keys), so k=16
+    # covers the rounding band with a wide margin. Residual caveat (fine as
+    # documented): bit-for-bit CPU-winner parity is NOT guaranteed when
+    # >k trials sit within the rounding band of the maximum — an exact
+    # co-winner whose approx count missed the top-k cannot be recovered.
+    # lax.top_k is stable (equal counts keep ascending trial index), so
+    # first-maximum ties WITHIN the re-rank set already resolve like the
+    # CPU path's argmax.
+    RERANK_K = 16
 
     def rerank_exact(counts, ks):
         """(best_count, best_key) — exact-count argmax over the top-k approx

@@ -309,3 +309,39 @@ def test_pose_graph_checkpoint_resume(tmp_path):
     np.testing.assert_allclose(
         np.asarray(res.cost_history), np.asarray(ref.cost_history), rtol=1e-12
     )
+
+
+def test_gate_fixed_point_flag_and_truncation_warning(caplog):
+    """n_iterations too small to reach the accept-mask fixed point ⇒
+    gate_converged=False + a structured warning naming the knob; enough
+    iterations ⇒ converged, silent, and early-exit does not change the
+    result (ADVICE r4: parallel/chunked decisions fold in one pass late)."""
+    import logging
+
+    from gps_optimize_slam_tpu.utils.logging import LOGGER_NAME
+
+    outliers = [(40, np.array([30.0, -20.0, 5.0])), (90, np.array([0.0, 50.0, 0.0]))]
+    t, pos, quats, s3p, s3q, gps, valid = setup_fusion_inputs(outliers=outliers)
+    args = (
+        jnp.asarray(t), jnp.asarray(pos), jnp.asarray(quats),
+        jnp.asarray(s3p), jnp.asarray(s3q), jnp.asarray(gps), jnp.asarray(valid),
+    )
+    # One pass rejects the outliers but cannot have verified stability.
+    with caplog.at_level(logging.WARNING, logger=LOGGER_NAME):
+        res1 = robust.fuse_robust(*args, n_iterations=1, gate_mode="parallel")
+    assert not bool(np.asarray(res1.gate_converged))
+    assert any("fixed point" in r.message for r in caplog.records)
+
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger=LOGGER_NAME):
+        res = robust.fuse_robust(*args, n_iterations=8, gate_mode="parallel")
+    assert bool(np.asarray(res.gate_converged))
+    assert not caplog.records
+    acc = np.asarray(res.accepted)
+    assert not acc[40] and not acc[90]
+    # Early exit must reproduce the fixed cap's output exactly.
+    res2 = robust.fuse_robust(*args, n_iterations=2, gate_mode="parallel")
+    np.testing.assert_array_equal(np.asarray(res.accepted), np.asarray(res2.accepted))
+    np.testing.assert_array_equal(
+        np.asarray(res.positions), np.asarray(res2.positions)
+    )
