@@ -169,6 +169,20 @@ def _pad_for_mesh(n: int, d: int) -> int:
     return -(-n // d) * d
 
 
+def _local_mesh_device(mesh: Mesh):
+    """First mesh device THIS process can address — the hermeticity scope
+    target for eager staging. A multi-process global mesh contains remote
+    devices; ``jax.default_device`` on one of those raises, so
+    ``mesh.devices.flat[0]`` is only correct single-process."""
+    pid = jax.process_index()
+    for d in mesh.devices.flat:
+        if d.process_index == pid:
+            return d
+    # A mesh with no addressable devices cannot be staged from this
+    # process at all; surface that clearly.
+    raise ValueError("mesh contains no devices addressable by this process")
+
+
 def fuse_ekf_rts_seqparallel(
     mesh: Mesh,
     slam_times: jnp.ndarray,
@@ -220,7 +234,7 @@ def fuse_ekf_rts_seqparallel(
     # broken/absent accelerator when the mesh is a virtual-CPU dry run.
     # Scoping default_device to a mesh device commits them all to the mesh
     # platform; the explicit NamedSharding device_put then distributes.
-    with jax.default_device(mesh.devices.flat[0]):
+    with jax.default_device(_local_mesh_device(mesh)):
         st = jnp.asarray(slam_times, dtype)
         if n_pad != n:
             # Strictly increasing padded timestamps keep dt > 0 (controls/Qd).
@@ -254,5 +268,5 @@ def fuse_ekf_rts_seqparallel(
     # The unpad slice also runs EAGERLY: its index constants would be
     # created on the process-default backend (the same leak class as the
     # padding above), so keep it scoped to the mesh.
-    with jax.default_device(mesh.devices.flat[0]):
+    with jax.default_device(_local_mesh_device(mesh)):
         return pos[:n], quat_out[:n]
