@@ -76,6 +76,22 @@ class FusionResult:
 
     def summary(self) -> str:
         ev = self.evaluation
+        # Start ALL device→host copies asynchronously before any is read:
+        # the naive per-scalar float()/int() fetch is one full round trip
+        # apiece — ~30 scalars × ~23 ms tunnel RTT was 0.63 s of the warm
+        # end-to-end wall (BENCH r5 e2e profiling), dwarfing the fusion
+        # itself. copy_to_host_async overlaps them into ~one RTT.
+        for leaf in jax.tree.leaves(
+            (
+                ev,
+                self.gt_evaluation,
+                self.outputs.sim3,
+                self.outputs.sim3_inliers,
+                self.outputs.ok,
+            )
+        ):
+            if isinstance(leaf, jax.Array):
+                leaf.copy_to_host_async()
         lines = [
             f"poses: {len(self.slam['timestamps'])}, "
             f"gps fixes kept: {int(self.gps.valid.sum())}/{len(self.gps.valid)}, "
@@ -107,6 +123,62 @@ class FusionResult:
                     f"max={float(st.max):.3f}m n={int(st.count)}"
                 )
         return "\n".join(lines)
+
+
+from functools import lru_cache
+
+
+@lru_cache(maxsize=16)
+def _projection_kernel(frame: str, zone: int, south: bool):
+    """Geodetic projection as ONE jitted program per (frame, zone): called
+    eagerly at load time, the Krüger-series/ENU math otherwise compiles
+    ~35 per-op XLA programs on the first trajectory. Traced under the
+    caller's enable_x64 + CPU default_device scope (both are jit cache-key
+    context, so the cached program stays f64-on-CPU)."""
+    if frame == "utm":
+
+        @jax.jit
+        def kernel(lons, lats, alts):
+            x, y = geodesy.utm_forward(lons, lats, zone, south)
+            return jnp.stack([x, y, alts], axis=-1)
+
+    else:
+
+        @jax.jit
+        def kernel(lons, lats, alts, origin):
+            return geodesy.wgs84_to_enu(
+                lons, lats, alts, origin[0], origin[1], origin[2]
+            )
+
+    return kernel
+
+
+@lru_cache(maxsize=16)
+def _gps_gate_kernel(cfg: GPSFilterConfig, has_windows: bool):
+    """``ransac.gps_poly_ransac_mask`` as ONE jitted program (cached per
+    config): called eagerly at load time, its ~90 constituent ops — the
+    vmapped per-window polynomial-lstsq trials among them — otherwise
+    compile per-op on the process-default backend. Over a tunneled TPU
+    that was ~8 min of cold end-to-end wall and ~0.9 s of per-call
+    dispatch RTT (BENCH r5 e2e_wall first measurement)."""
+    if has_windows:
+
+        @jax.jit
+        def kernel(key, times, positions, valid, window_starts):
+            return ransac.gps_poly_ransac_mask(
+                key, times, positions, valid=valid,
+                window_starts=window_starts, cfg=cfg,
+            )
+
+    else:
+
+        @jax.jit
+        def kernel(key, times, positions, valid):
+            return ransac.gps_poly_ransac_mask(
+                key, times, positions, valid=valid, cfg=cfg
+            )
+
+    return kernel
 
 
 def load_and_project_gps(
@@ -148,14 +220,16 @@ def load_and_project_gps(
     # the projected (small, local) coordinates are cast to the working
     # dtype afterwards.
     enu_origin = None
+    if frame not in ("utm", "enu"):
+        raise ValueError(f"unknown frame {frame!r} (use 'utm' or 'enu')")
     with jax.enable_x64(True), jax.default_device(jax.devices("cpu")[0]):
         lons = jnp.asarray(raw["lons"], jnp.float64)
         lats = jnp.asarray(raw["lats"], jnp.float64)
         alts = jnp.asarray(raw["alts"], jnp.float64)
+        proj = _projection_kernel(frame, zone, south)
         if frame == "utm":
-            x, y = geodesy.utm_forward(lons, lats, zone, south)
-            positions64 = np.asarray(jnp.stack([x, y, alts], axis=-1))
-        elif frame == "enu":
+            positions64 = np.asarray(proj(lons, lats, alts))
+        else:
             if like is not None and like.enu_origin is not None:
                 enu_origin = np.asarray(like.enu_origin)
             else:
@@ -164,30 +238,35 @@ def load_and_project_gps(
                     [raw["lons"][first], raw["lats"][first], raw["alts"][first]]
                 )
             positions64 = np.asarray(
-                geodesy.wgs84_to_enu(
-                    lons, lats, alts, enu_origin[0], enu_origin[1], enu_origin[2]
-                )
+                proj(lons, lats, alts, jnp.asarray(enu_origin, jnp.float64))
             )
-        else:
-            raise ValueError(f"unknown frame {frame!r} (use 'utm' or 'enu')")
-    positions = jnp.asarray(positions64, dtype)
+    # device_put of host-converted arrays: each jnp.asarray convert here is
+    # an eager per-op dispatch on the default backend (a tunnel RTT apiece
+    # on the bench TPU; a per-op compile when cold).
+    npdt = np.dtype(jnp.dtype(dtype).name)
+    positions = jax.device_put(positions64.astype(npdt))
 
-    times = jnp.asarray(raw["timestamps"], dtype)
+    times = jax.device_put(np.asarray(raw["timestamps"], npdt))
     if filter_cfg.enabled and filter_cfg.use_sliding_window:
         starts = ransac.reference_window_starts(
             raw["timestamps"][valid], filter_cfg
         )
-        window_starts = jnp.asarray(starts, dtype) if len(starts) else None
+        window_starts = (
+            jax.device_put(np.asarray(starts, npdt)) if len(starts) else None
+        )
     else:
         window_starts = None
-    keep = ransac.gps_poly_ransac_mask(
-        jax.random.PRNGKey(seed),
+    gate = _gps_gate_kernel(filter_cfg, window_starts is not None)
+    # PRNGKey(seed) built as raw key data (threefry2x32 layout: [0, seed])
+    # + device_put — jax.random.PRNGKey is an eager dispatch per call.
+    key = jax.device_put(np.asarray([0, seed], np.uint32))
+    gate_args = (
+        key,
         times,
         positions,
-        valid=jnp.asarray(valid),
-        window_starts=window_starts,
-        cfg=filter_cfg,
-    )
+        jax.device_put(np.asarray(valid)),
+    ) + ((window_starts,) if window_starts is not None else ())
+    keep = gate(*gate_args)
     return GPSData(
         timestamps=raw["timestamps"],
         positions=positions64,
@@ -261,9 +340,12 @@ def fuse_arrays(
     inconsistent with the filter state are rejected; the corrected
     trajectory and its evaluation then reflect the gated filter."""
     dtype = dtype or (jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
-    slam_times = jnp.asarray(slam["timestamps"], dtype)
-    slam_pos = jnp.asarray(slam["positions"], dtype)
-    slam_quat = jnp.asarray(slam["quaternions"], dtype)
+    # device_put of host-converted arrays (no eager convert dispatches —
+    # each is a tunnel RTT on the bench TPU).
+    _npdt = np.dtype(jnp.dtype(dtype).name)
+    slam_times = jax.device_put(np.asarray(slam["timestamps"], _npdt))
+    slam_pos = jax.device_put(np.asarray(slam["positions"], _npdt))
+    slam_quat = jax.device_put(np.asarray(slam["quaternions"], _npdt))
     # Host sortedness check → the device program may skip the compaction
     # argsort (identical outputs; see alignment._compact_sort).
     if not config.gps_sorted:
@@ -275,10 +357,10 @@ def fuse_arrays(
         slam_times,
         slam_pos,
         slam_quat,
-        jnp.asarray(gps.timestamps, dtype),
-        jnp.asarray(gps.positions, dtype),
-        jnp.asarray(gps.valid),
-        jax.random.PRNGKey(seed),
+        jax.device_put(np.asarray(gps.timestamps, _npdt)),
+        jax.device_put(np.asarray(gps.positions, _npdt)),
+        jax.device_put(np.asarray(gps.valid)),
+        jax.device_put(np.asarray([0, seed], np.uint32)),  # PRNGKey(seed) data
         config,
         time_offset=offset,
     )

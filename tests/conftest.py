@@ -61,7 +61,10 @@ def _bound_live_jit_state_per_module():
     # accumulated live executables degrade XLA:CPU well before they crash
     # it (test_kalman_parallel golden parity 24 s → 75 s). Per-module
     # clearing is both the stability mitigation and the fast option.
-    jax.clear_caches()
+    # GPS_SLAM_KEEP_JIT_STATE=1 disables it — the standalone repro hook for
+    # the crash (run the full suite with it set; see ROADMAP).
+    if not os.environ.get("GPS_SLAM_KEEP_JIT_STATE"):
+        jax.clear_caches()
 
 # Make the repo root importable regardless of pytest invocation directory.
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -15,6 +15,15 @@ process. Observed properties:
 * an autouse module-scoped ``jax.clear_caches()`` made the full suite
   stable — the standing mitigation.
 
+ROUND-5 UPDATE: the crash now has a deterministic SUITE-LEVEL repro —
+``GPS_SLAM_KEEP_JIT_STATE=1 python -m pytest tests/ -q`` (env var disables
+the conftest mitigation) aborts 2/2 runs at ~60-68% of the suite with
+"Fatal Python error: Aborted" inside
+``jax/_src/compilation_cache.py get_executable_and_time`` (persistent-
+cache executable deserialize) during a ``fuse_core`` compile. Use that for
+an upstream report; this script remains the (still non-reproducing)
+minimal-stream attempt.
+
 This script reproduces those conditions WITHOUT the test suite: it
 compiles a stream of DISTINCT non-trivial programs (associative-scan
 Kalman-like bodies, spline solves, vmapped RANSAC-like bodies — the same
