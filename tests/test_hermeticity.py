@@ -125,6 +125,18 @@ def test_dryrun_multichip_no_default_backend_dispatch(eager_recorder):
     )
 
 
+def test_dryrun_multichip_under_spoofed_tpu_default(monkeypatch):
+    """THE r03 regression test (moved from test_platform_dispatch so the
+    two dryrun(4)-shaped tests share one module's compiled programs): the
+    full driver artifact must survive a TPU-default process + CPU mesh.
+    Before the round-4 fix this crashed in sim3_ransac's Pallas consensus
+    kernel at lowering."""
+    from gps_optimize_slam_tpu.utils import backend
+
+    monkeypatch.setattr(backend, "effective_platform", lambda: "tpu")
+    __graft_entry__.dryrun_multichip(4)
+
+
 def test_seqpar_padding_hermetic(eager_recorder):
     """Direct unit form of the r04 leak: fuse_ekf_rts_seqparallel's padding
     path (n not a mesh multiple → arange/full/zeros tails) must not

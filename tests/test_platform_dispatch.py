@@ -61,13 +61,11 @@ def test_resolve_platform_spoofed_fallback(spoof_tpu_default):
     assert backend.resolve_platform("auto", mesh=pmesh.make_mesh(n_devices=2)) == "cpu"
 
 
-def test_dryrun_multichip_under_spoofed_tpu_default(spoof_tpu_default):
-    """THE r03 regression test: the full driver artifact must survive a
-    TPU-default process + CPU mesh. Before the round-4 fix this crashed in
-    sim3_ransac's Pallas consensus kernel at lowering."""
-    import __graft_entry__
-
-    __graft_entry__.dryrun_multichip(4)
+# The r03 regression test — dryrun_multichip(4) under a spoofed TPU
+# default — lives in tests/test_hermeticity.py
+# (test_dryrun_multichip_under_spoofed_tpu_default): the two dryrun(4)-
+# shaped tests share one module so the big mesh programs compile once
+# (the per-module clear_caches mitigation would otherwise recompile them).
 
 
 def test_fuse_batch_on_cpu_mesh_under_spoofed_tpu_default(spoof_tpu_default):
