@@ -214,11 +214,12 @@ def fuse_robust(
     return res
 
 
+# n_iterations is TRACED (a while_loop bound), not static: rerunning with a
+# larger cap — the documented move for heavily contaminated data — reuses
+# the compiled program instead of re-tracing it.
 @partial(
     jax.jit,
-    static_argnames=(
-        "ekf_cfg", "rts_cfg", "n_iterations", "scan", "platform", "gate_mode"
-    ),
+    static_argnames=("ekf_cfg", "rts_cfg", "scan", "platform", "gate_mode"),
 )
 def _fuse_robust(
     slam_times: jnp.ndarray,

@@ -33,6 +33,13 @@ def synth(n, seed):
 
 
 def main():
+    import time as _time
+
+    _t0 = _time.perf_counter()
+
+    def _mark(label):
+        print(f"T {label} {_time.perf_counter() - _t0:.1f}s", flush=True)
+
     coord, nproc, pid = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
 
     from gps_optimize_slam_tpu.parallel import distributed as dist
@@ -40,6 +47,7 @@ def main():
     dist.initialize(
         coord, nproc, pid, local_devices_per_process=2, platform="cpu", timeout_s=60
     )
+    _mark("dist_init")
     import jax
 
     jax.config.update("jax_enable_x64", True)
@@ -86,9 +94,12 @@ def main():
     from gps_optimize_slam_tpu.parallel import mesh as pmesh
 
     # 5 sequences over 4 global devices — exercises batch-axis padding too.
+    # (Small sizes: this worker's three device phases are execution-bound
+    # on the gloo-coordinated virtual mesh; the parity assertions don't
+    # need long trajectories.)
     slams, gts, gps_list = [], [], []
     for i in range(5):
-        s, gt, gp = synth(40 + 6 * i, seed=i)
+        s, gt, gp = synth(24 + 4 * i, seed=i)
         slams.append(s)
         gts.append(gt)
         gps_list.append(gp)
@@ -97,7 +108,9 @@ def main():
         [np.asarray(jax.random.PRNGKey(i)) for i in range(len(slams))]
     )
 
+    _mark("setup")
     out, n_real = dist.fuse_batch_distributed(b, keys)
+    _mark("fuse_batch_distributed")
     gathered = dist.gather_outputs(out, n_real=n_real)
     assert gathered.corrected_pos.shape[0] == 5
     assert bool(np.asarray(gathered.ok).all()), "distributed fusion not ok"
@@ -105,6 +118,7 @@ def main():
     # Process-local single-mesh reference (first local device only).
     local_mesh = pmesh.make_mesh(devices=jax.local_devices()[:1])
     ref = pmesh.fuse_batch(b, keys, mesh=local_mesh)
+    _mark("local_ref")
     ref_pos = np.asarray(ref.corrected_pos)
 
     err = np.max(np.abs(gathered.corrected_pos - ref_pos))
@@ -120,7 +134,7 @@ def main():
     from gps_optimize_slam_tpu.ops import kalman_parallel
     from gps_optimize_slam_tpu.parallel import seqpar
 
-    n = 160  # divides the 4-device global mesh
+    n = 64  # divides the 4-device global mesh
     s, _, _ = synth(n, seed=7)
     t = jnp.asarray(s["timestamps"])
     pos = jnp.asarray(s["positions"])
@@ -134,6 +148,7 @@ def main():
     got_p, got_q = seqpar.fuse_ekf_rts_seqparallel(
         gmesh, t, pos, qt, pos, qt, gz, gv
     )
+    _mark("seqpar")
     with jax.default_device(jax.local_devices()[0]):
         ref_p, ref_q = kalman_parallel.fuse_ekf_rts_parallel(
             t, pos, qt, pos, qt, gz, gv

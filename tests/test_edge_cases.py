@@ -127,12 +127,14 @@ def test_southern_hemisphere_roundtrip():
 
 
 def test_duplicate_slam_timestamps_dont_crash():
-    t, pos, quats = make_traj(n=60)
+    # n=50 matches test_fuse_fails_cleanly_without_temporal_overlap's
+    # shapes so the two tests share ONE fuse_core compile in this module.
+    t, pos, quats = make_traj(n=50)
     t[30] = t[29]  # dt = 0 → clamped to 1e-6 in the filter
     gps = pos + 0.01
     out = fusion.fuse_core(
         jnp.asarray(t), jnp.asarray(pos), jnp.asarray(quats),
-        jnp.asarray(t), jnp.asarray(gps), jnp.asarray(np.ones(60, bool)),
+        jnp.asarray(t), jnp.asarray(gps), jnp.asarray(np.ones(50, bool)),
         jax.random.PRNGKey(0),
     )
     assert bool(out.ok)
