@@ -312,16 +312,14 @@ def roofline_section(extras, dtype_bytes=4):
         out["fused_step_traffic_note"] = "bytes = program in+out (lower bound)"
 
     # 2) Pallas NN kernel (isotropic regime — pruning can't skip, so the
-    # FLOP count is exact): every candidate block DMAs once per query tile
-    # (BlockSpec pipeline; pruning elides VPU work only).
+    # FLOP count is exact). Resident form: the candidate set loads into
+    # VMEM ONCE, so HBM traffic is O(N + M) and the kernel is purely
+    # VPU-compute-bound.
     t_ms = extras.get("pallas_nn_device_ms")
     if t_ms:
-        from gps_optimize_slam_tpu.ops.pallas_kernels import TILE_N
-
         n, m = 23201, 23900
-        q_tiles = -(-n // TILE_N)
         bytes_ = (
-            q_tiles * (8 * m * dtype_bytes)  # candidate blocks, re-fetched
+            8 * m * dtype_bytes  # candidate image, loaded once (resident)
             + 8 * n * dtype_bytes  # query rows, once
             + n * dtype_bytes  # output
         )
@@ -333,15 +331,16 @@ def roofline_section(extras, dtype_bytes=4):
         out["pallas_nn_hbm_peak_frac"] = round(gbps / V5E_HBM_GBPS, 4)
         out["pallas_nn_achieved_gflops"] = round(tflops * 1e3, 1)
         out["pallas_nn_mxu_bf16_peak_frac"] = round(tflops / V5E_BF16_TFLOPS, 4)
-        # ~1 f32 TFLOP/s of elementwise work is near VPU saturation while
-        # HBM sits idle — the kernel is VPU-compute-bound (the MXU
-        # reformulation lever in ROADMAP).
+        # Multiple f32 TFLOP/s of elementwise work with ~no HBM traffic —
+        # the kernel is VPU-compute-bound by construction (the MXU
+        # reformulation was measured numerically unviable; see
+        # ops/pallas_kernels.py and ROADMAP).
         out["pallas_nn_bound"] = (
             "vpu-compute" if gbps / V5E_HBM_GBPS < 0.25 else "hbm-bandwidth"
         )
         t_traj = extras.get("pallas_nn_traj_device_ms")
         if t_traj:
-            # Same DMA traffic, pruned compute: bandwidth share rises.
+            # Same (one-shot) traffic, pruned compute.
             out["pallas_nn_traj_achieved_gbps"] = round(
                 bytes_ / (t_traj / 1e3) / 1e9, 2
             )

@@ -11,7 +11,13 @@ O(N + M) — the evaluation metric's memory wall disappears.
 Numerics: distances are computed as Σ(aₖ−bₖ)² with an unrolled coordinate
 loop, NOT the ‖a‖²+‖b‖²−2a·b matmul form — the latter cancels
 catastrophically in float32 when nearby points have large coordinates
-(error ~ eps·‖a‖², metres of noise on sub-metre distances).
+(error ~ eps·‖a‖², metres of noise on sub-metre distances). The MXU
+reformulation WITH per-query-tile centering was prototyped and measured
+(round 5): on car-like data a 256-pose query tile spans ~710 m, and the
+centered expansion's NN-error deviation is max 0.18 m / rms 0.012 m vs
+7e-8 m for this form — eps·tile_span²/(2d) in action. Centering cannot
+shrink the bound below the tile span, so the expansion is unviable at f32
+for metre-scale metrics; this kernel stays on the VPU deliberately.
 
 Layout notes: coordinates live transposed as (8, N)/(8, M) so blocks are
 (8 sublanes × 128k lanes) — the native f32 VMEM tile; the output lives as
@@ -19,25 +25,42 @@ Layout notes: coordinates live transposed as (8, N)/(8, M) so blocks are
 
 Spatial pruning: trajectories are spatially coherent, so most (query-tile ×
 candidate-tile) pairs provably cannot contain a nearest neighbour. The
-wrapper computes per-64-pose-segment AABBs on device (cheap jnp), derives a
+wrapper computes per-32-pose-segment AABBs on device (cheap jnp), derives a
 conservative per-query-segment upper bound on its NN distance (the min over
 candidate segments of the max box-to-box distance), and skips every kernel
-tile whose box-to-box LOWER bound exceeds that threshold. The skip mask
-rides scalar prefetch (SMEM) and gates the whole tile body with ``pl.when``
-— the result stays EXACT (the true-NN tile is never skipped: its lower
-bound is ≤ its upper bound, which is ≥ the threshold's defining minimum),
-only provably-losing VPU work is elided. Measured tile-keep fractions at
-all-KITTI scale: ~4% on car-like (curvature-limited) trajectories, ~31%
-on an adversarial self-crossing random walk — i.e. 69-96% of the O(N·M)
-distance COMPUTE (VPU work) is skipped. The saving is compute-only:
-``pl.when`` elides the tile body but the BlockSpec pipeline still DMAs
-every candidate block for every grid step, so HBM traffic is unchanged
-and the realizable speedup is bounded by the kernel's compute/bandwidth
-split (measured 5.66→2.6 ms on the trajectory workload — the compute
-share). If bandwidth becomes the limiter, the next lever is moving the
-candidate loop into the kernel with manual DMA gated on the keep mask.
-On isotropic point clouds (every segment box spans the cloud) nothing
-can be pruned and the kernel runs dense.
+tile whose box-to-box LOWER bound exceeds that threshold. The result stays
+EXACT (the true-NN tile is never skipped: its lower bound is ≤ its upper
+bound, which is ≥ the threshold's defining minimum) — only provably-losing
+work is elided.
+
+Two kernel forms share that keep mask:
+
+* **Resident form** (the production path): at evaluation scale the whole
+  candidate set is tiny next to VMEM (0.77 MB at all-KITTI size vs a
+  ~8 MB budget), so it loads ONCE as a resident (m_tiles, 8, TILE_M)
+  block; the grid is 1-D over query tiles and each step walks ONLY its
+  kept candidate tiles via a compacted scalar-prefetched index list
+  (``jlist``/``nkept``) with dynamic leading-dim indexing. Skipped tiles
+  cost nothing — no DMA, no grid step. This matters because the old 2-D
+  pipelined grid paid a measured ~0.6 µs/step FIXED cost even for fully
+  gated steps (4,277 steps ⇒ 2.63 ms with every tile skipped — the
+  entire cost of the pruned case was pipeline overhead, not VPU work).
+  Measured on TPU v5e at all-KITTI scale (23k×24k), old 2-D grid → this
+  kernel at the swept TILE_M=1024: isotropic dense 5.09 → 1.92 ms,
+  adversarial self-crossing walk 2.64 → 1.06 ms, car-like
+  (curvature-limited) trajectory — the production evaluation regime,
+  ~6% of tiles kept — 2.6 → **0.21 ms** (TILE_M sweep: 512/1024/2048 give
+  dense 2.28/1.92/1.49, walk 1.28/1.06/1.07, car 0.16/0.21/0.24 — 1024
+  balances the isotropic worst case against pruning granularity).
+* **Pipelined fallback** for candidate sets beyond the VMEM budget
+  (m ≳ 250k): the original 2-D grid with ``pl.when``-gated tile bodies.
+  The gate elides VPU work only — the BlockSpec pipeline still DMAs
+  every candidate block — so it keeps the ~0.6 µs/step floor; callers at
+  that scale (the chunked evaluation drivers) chunk candidates anyway.
+
+Candidate validity rides a spare coordinate row (row 3: 0 for valid, +inf
+for invalid/padded — (0 − inf)² = inf knocks the column out of every min)
+so the resident kernel needs no separate mask operand.
 """
 
 from __future__ import annotations
@@ -50,11 +73,37 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 TILE_N = 256
-TILE_M = 512
+TILE_M = 1024  # resident-kernel sweet spot: see module docstring sweep
 _PAD_DIM = 8
 _SUB = 32  # AABB segment length for the pruning bounds (swept on TPU v5e:
 # 32 beats 64 by ~1.7× at all-KITTI scale — tighter boxes prune more tiles
 # and the (n_sub × m_sub) bound matrix stays trivially small)
+
+
+# Candidate sets whose transposed-coordinate image exceeds this VMEM budget
+# take the pipelined fallback kernel instead of the resident one.
+_RESIDENT_BUDGET_BYTES = 8 * 1024 * 1024
+
+
+def _nn_kernel_resident(nkept_ref, jlist_ref, a_ref, b_ref, out_ref, a_t):
+    """1-D grid over query tiles; candidates VMEM-resident; inner dynamic
+    loop visits only this query tile's KEPT candidate tiles (jlist is the
+    per-row compacted keep list, nkept its length)."""
+    i = pl.program_id(0)
+    a_t[:, :] = a_ref[:, :].T
+
+    def body(k, running):
+        blk = b_ref[jlist_ref[i, k]]  # (PAD_DIM, TILE_M)
+        d2 = jnp.zeros((TILE_N, TILE_M), jnp.float32)
+        # Row 3 carries validity (0 valid / +inf invalid): the diff² form
+        # sends invalid columns to +inf with no separate mask operand.
+        for k3 in range(4):
+            diff = a_t[:, k3][:, None] - blk[k3, :][None, :]
+            d2 = d2 + diff * diff
+        return jnp.minimum(running, jnp.min(d2, axis=1))
+
+    init = jnp.full((TILE_N,), jnp.inf, jnp.float32)
+    out_ref[:, :] = jax.lax.fori_loop(0, nkept_ref[i], body, init)[None, :]
 
 
 def _nn_kernel(keep_ref, a_ref, b_ref, bmask_ref, out_ref, a_t):
@@ -210,6 +259,34 @@ def nn_min_dist2(
     )
     b = jnp.zeros((_PAD_DIM, m_pad), jnp.float32).at[:3, :m].set(cf.T)
     bm = jnp.zeros((1, m_pad), bool).at[0, :m].set(cand_mask)
+
+    if m_pad * _PAD_DIM * 4 <= _RESIDENT_BUDGET_BYTES:
+        # Resident form: compact each query tile's kept candidate tiles to
+        # the front (stable argsort keeps ascending-j traversal order).
+        n_tiles, m_tiles = n_pad // TILE_N, m_pad // TILE_M
+        order = jnp.argsort(1 - keep, axis=1, stable=True).astype(jnp.int32)
+        nkept = jnp.sum(keep, axis=1).astype(jnp.int32)
+        bv = b.at[3, :].set(jnp.where(bm[0], 0.0, jnp.inf))
+        b3 = bv.reshape(_PAD_DIM, m_tiles, TILE_M).transpose(1, 0, 2)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec((_PAD_DIM, TILE_N), lambda i, nk, jl: (0, i)),
+                pl.BlockSpec(
+                    (m_tiles, _PAD_DIM, TILE_M), lambda i, nk, jl: (0, 0, 0)
+                ),
+            ],
+            out_specs=pl.BlockSpec((1, TILE_N), lambda i, nk, jl: (0, i)),
+            scratch_shapes=[pltpu.VMEM((TILE_N, _PAD_DIM), jnp.float32)],
+        )
+        out = pl.pallas_call(
+            _nn_kernel_resident,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+            interpret=interpret,
+        )(nkept, order, a, b3)
+        return out[0, :n]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
