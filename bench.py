@@ -129,10 +129,13 @@ def _chained_device_ms(jax, jnp, one, bucket_args, dtype, k_iters=20, repeats=5)
     return (float(np.median(t2s)) - float(np.median(t1s))) / k_iters
 
 
-def scale_section(jax, jnp, sequences, dtype, label):
+def scale_section(jax, jnp, sequences, dtype, label, bucketed_only=False):
     """All-KITTI-scale fusion numbers for a list of (slam, gt, gp, valid):
     full-padded-batch device time and length-bucketed device time (both
-    chained-dispatch), poses/sec, and padding accounting."""
+    chained-dispatch), poses/sec, and padding accounting.
+
+    ``bucketed_only`` skips the full-padded-batch variant (used by the
+    batch-width sweep, where only the production bucketed path matters)."""
     from gps_optimize_slam_tpu.config import FusionConfig
     from gps_optimize_slam_tpu.models import fusion
     from gps_optimize_slam_tpu.parallel import batch as pbatch
@@ -174,30 +177,36 @@ def scale_section(jax, jnp, sequences, dtype, label):
         )
         return tuple(jax.device_put(a) for a in ha)
 
-    b = pbatch.pad_batch(slams, gts, gps_list, valids, pad_multiple=128)
-    full_args = [stage(np.arange(len(slams)), b)]
-    # Correctness gate: the batch must actually converge before timing.
-    out = jax.jit(jax.vmap(one))(*full_args[0])
-    assert bool(jnp.all(out.ok)), f"{label}: batched fusion did not converge"
-    device_ms = _chained_device_ms(jax, jnp, one, full_args, dtype)
+    out_stats = {f"{label}_total_poses": total_poses}
+    device_ms = None
+    if not bucketed_only:
+        b = pbatch.pad_batch(slams, gts, gps_list, valids, pad_multiple=128)
+        full_args = [stage(np.arange(len(slams)), b)]
+        # Correctness gate: the batch must actually converge before timing.
+        out = jax.jit(jax.vmap(one))(*full_args[0])
+        assert bool(jnp.all(out.ok)), f"{label}: batched fusion did not converge"
+        device_ms = _chained_device_ms(jax, jnp, one, full_args, dtype)
+        out_stats[f"{label}_device_ms"] = round(device_ms, 2)
+        out_stats[f"{label}_padded_poses"] = int(b.slam_times.size)
 
     buckets = pbatch.bucket_by_length(
         slams, gts, gps_list, valids, max_waste=2.0, pad_multiple=128
     )
     bucket_args = [stage(np.asarray(idxs), bb) for idxs, bb in buckets]
+    if bucketed_only:
+        # Convergence gate on the bucketed programs themselves.
+        for a in bucket_args:
+            ok = jax.jit(jax.vmap(one))(*a).ok
+            assert bool(jnp.all(ok)), f"{label}: bucketed fusion did not converge"
     bucketed_ms = _chained_device_ms(jax, jnp, one, bucket_args, dtype)
 
-    best = min(device_ms, bucketed_ms)
-    return {
-        f"{label}_device_ms": round(device_ms, 2),
-        f"{label}_bucketed_ms": round(bucketed_ms, 2),
-        f"{label}_poses_per_sec": round(total_poses / (best / 1e3), 0),
-        f"{label}_total_poses": total_poses,
-        f"{label}_padded_poses": int(b.slam_times.size),
-        f"{label}_bucketed_padded_poses": int(
-            sum(bb.slam_times.size for _, bb in buckets)
-        ),
-    }
+    best = bucketed_ms if device_ms is None else min(device_ms, bucketed_ms)
+    out_stats[f"{label}_bucketed_ms"] = round(bucketed_ms, 2)
+    out_stats[f"{label}_poses_per_sec"] = round(total_poses / (best / 1e3), 0)
+    out_stats[f"{label}_bucketed_padded_poses"] = int(
+        sum(bb.slam_times.size for _, bb in buckets)
+    )
+    return out_stats
 
 
 def e2e_section(jax, jnp, platform, dtype):
@@ -572,7 +581,10 @@ def pallas_scan_section(jax, jnp, n=4661):
                 t0 = time.perf_counter()
                 np.asarray(f2(leaves[0]))
                 t2s.append((time.perf_counter() - t0) * 1e3)
-            return (float(np.median(t2s)) - float(np.median(t1s))) / K
+            # Clamp at 0: at ~50 µs true kernel time the differential can
+            # round negative under host-timing noise; a negative ms in the
+            # artifact would read as nonsense rather than "below noise".
+            return max(0.0, (float(np.median(t2s)) - float(np.median(t1s))) / K)
 
         out["pallas_scan_device_ms"] = round(
             time_scan(
@@ -1116,6 +1128,27 @@ def main():
         scale_extras["scale_real_source"] = "seq-04 fixture replicas (real GNSS noise/timing)"
     except Exception as e:
         scale_extras["scale_real_error"] = f"{type(e).__name__}: {e}"
+    # Batch-width sweep: the fused step is latency-bound (see the roofline
+    # fields), so its cost must grow SUBLINEARLY as more sequences batch
+    # into the same step — this measures the "batch more sequences"
+    # scaling lever instead of asserting it. ×2/×4 the all-KITTI set
+    # (46k/93k poses) through the production bucketed path.
+    try:
+        from bench_scale import synth_sequence as _ss
+
+        for mult in (2, 4):
+            reps = []
+            for r in range(mult):
+                for i, n in enumerate(KITTI_LENGTHS):
+                    s, gt_, gp_, v = _ss(n, 1000 * r + i)
+                    reps.append((s, gt_, gp_, v))
+            scale_extras.update(
+                scale_section(
+                    jax, jnp, reps, dtype, f"scale_x{mult}", bucketed_only=True
+                )
+            )
+    except Exception as e:
+        scale_extras["scale_sweep_error"] = f"{type(e).__name__}: {e}"
     try:
         if platform != "cpu":
             scale_extras.update(pallas_nn_section(jax, jnp))
