@@ -33,7 +33,15 @@ from gps_optimize_slam_tpu.utils.logging import get_logger, step
 
 @dataclasses.dataclass
 class GPSData:
-    """Projected + outlier-gated GNSS track."""
+    """Projected + outlier-gated GNSS track.
+
+    ``valid`` may be constructed from the DEVICE array the outlier gate
+    produced (load_and_project_gps does this): it materializes to NumPy
+    lazily on first host access, so the fuse path — which consumes the
+    mask device-to-device — never blocks on a device→host round trip
+    (~25 ms apiece over a tunneled TPU). The async copy is started at
+    load, so by the time summary()/viz/CLI read it the transfer has long
+    overlapped with the fusion itself."""
 
     timestamps: np.ndarray  # (M,) all loaded fixes
     positions: np.ndarray  # (M,3) projected (UTM or ENU)
@@ -42,6 +50,19 @@ class GPSData:
     utm_zone: int
     utm_south: bool
     enu_origin: Optional[np.ndarray] = None  # (lon, lat, alt) when frame=enu
+
+    def __getattribute__(self, name):
+        v = object.__getattribute__(self, name)
+        if name == "valid" and not isinstance(v, np.ndarray):
+            v = np.asarray(v)
+            object.__setattr__(self, "valid", v)
+        return v
+
+    def raw_valid(self):
+        """The validity mask exactly as stored — a jax.Array when the gate
+        result has not been materialized to host, else np.ndarray. Device
+        consumers (fuse_arrays) use this to stay on-device."""
+        return object.__getattribute__(self, "valid")
 
 
 @dataclasses.dataclass
@@ -267,10 +288,16 @@ def load_and_project_gps(
         jax.device_put(np.asarray(valid)),
     ) + ((window_starts,) if window_starts is not None else ())
     keep = gate(*gate_args)
+    # Don't block on the gate: hand the DEVICE mask to GPSData (lazy host
+    # materialization) and start its device→host copy in the background.
+    # fuse_arrays consumes the mask device-to-device, so the warm
+    # files→results path serializes ~one round trip instead of two; host
+    # consumers (summary, viz, CLI) find the copy already done.
+    keep.copy_to_host_async()
     return GPSData(
         timestamps=raw["timestamps"],
         positions=positions64,
-        valid=np.asarray(keep),
+        valid=keep,
         frame=frame,
         utm_zone=zone,
         utm_south=south,
@@ -347,19 +374,41 @@ def fuse_arrays(
     slam_pos = jax.device_put(np.asarray(slam["positions"], _npdt))
     slam_quat = jax.device_put(np.asarray(slam["quaternions"], _npdt))
     # Host sortedness check → the device program may skip the compaction
-    # argsort (identical outputs; see alignment._compact_sort).
+    # argsort (identical outputs; see alignment._compact_sort). A sorted
+    # FULL time axis is sufficient for any gated subset, and checking it
+    # needs no gate mask — the fuse path must not block fetching the
+    # device mask (one tunnel RTT). An unsorted full axis whose gated
+    # subset happens to be sorted just keeps the (correct) compaction on.
     if not config.gps_sorted:
-        tv = np.asarray(gps.timestamps)[np.asarray(gps.valid)]
-        if tv.size == 0 or np.all(np.diff(tv) >= 0):
+        ts_all = np.asarray(gps.timestamps)
+        if ts_all.size == 0 or np.all(np.diff(ts_all) >= 0):
             config = config.replace(gps_sorted=True)
-    offset = estimate_offset(slam, gps, config)
+    if config.offset_mode == "faithful":
+        # The reference's estimator is input-independent — provably 0.0 for
+        # any ≥2-sample inputs (SURVEY Q1; it correlates two z-scored
+        # uniform ramps, strictly maximal at lag 0) — so evaluating it on
+        # the UNGATED timestamps is value-identical and keeps the fuse path
+        # off the device gate mask.
+        offset = alignment.estimate_time_offset(
+            slam["timestamps"],
+            gps.timestamps,
+            config.time_alignment.max_samples_for_corr,
+        )
+    else:
+        offset = estimate_offset(slam, gps, config)
+    # The gate mask stays on device: its host materialization would
+    # serialize a device→host round trip before the fuse dispatch.
+    rawv = gps.raw_valid()
+    gps_valid_dev = (
+        rawv if isinstance(rawv, jax.Array) else jax.device_put(np.asarray(rawv))
+    )
     outputs = fusion.fuse_core(
         slam_times,
         slam_pos,
         slam_quat,
         jax.device_put(np.asarray(gps.timestamps, _npdt)),
         jax.device_put(np.asarray(gps.positions, _npdt)),
-        jax.device_put(np.asarray(gps.valid)),
+        gps_valid_dev,
         jax.device_put(np.asarray([0, seed], np.uint32)),  # PRNGKey(seed) data
         config,
         time_offset=offset,
@@ -416,13 +465,16 @@ def fuse_arrays(
             raise ValueError(
                 f"ground-truth frame {gt.frame!r} != working frame {gps.frame!r}"
             )
+        gt_rawv = gt.raw_valid()
         gt_ev, gt_al = fusion.evaluate_vs_track(
             slam_times,
             slam_pos,
             outputs,
             jax.device_put(np.asarray(gt.timestamps, _npdt)),
             jax.device_put(np.asarray(gt.positions, _npdt)),
-            jax.device_put(np.asarray(gt.valid)),
+            gt_rawv
+            if isinstance(gt_rawv, jax.Array)
+            else jax.device_put(np.asarray(gt_rawv)),
             cfg=config,
         )
     return FusionResult(

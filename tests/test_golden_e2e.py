@@ -104,6 +104,36 @@ def test_export_roundtrip(tmp_path, result):
     assert np.all(np.abs(w[:, 2] - 49.03) < 0.1)  # lat
 
 
+def test_fuse_path_never_materializes_gate_mask():
+    """The warm files→results wall over a tunneled TPU is round-trip-bound:
+    the GPS gate mask must flow device-to-device into fuse_core, with host
+    materialization deferred to the first host consumer (summary/viz/CLI).
+    Fetching it eagerly at load re-serializes a ~25 ms RTT before the fuse
+    dispatch (the BENCH r5 e2e breakdown's residual second round trip)."""
+    import jax
+
+    from gps_optimize_slam_tpu.io import tum as tum_io
+
+    cfg = FusionConfig()
+    gps = pipeline.load_and_project_gps(
+        reference_fixture("combined_output.txt"), cfg.gps_filtering_ransac
+    )
+    # The loader hands over the device array (async host copy in flight).
+    assert isinstance(gps.raw_valid(), jax.Array)
+    slam = tum_io.read_tum(reference_fixture("yolotum04.txt"))
+    res = pipeline.fuse_arrays(slam, gps, config=cfg)
+    # fuse_arrays consumed the mask on device — still not materialized.
+    assert isinstance(gps.raw_valid(), jax.Array)
+    assert bool(res.outputs.ok)
+    # First host access materializes (and caches) NumPy, equal to the gate.
+    v = gps.valid
+    assert isinstance(v, np.ndarray) and v.dtype == bool
+    assert isinstance(gps.raw_valid(), np.ndarray)
+    assert v.all() and v.shape == (279,)
+    # Parity with the eagerly-fetched result path (same fused outputs).
+    assert abs(float(res.outputs.sim3.scale) - 0.986986) < 1e-6
+
+
 def test_ground_truth_gnss_path(golden):
     # The GT GNSS file (lon-first columns, quirk Q4) exercises the second
     # loader path + disabled-filter config, as the reference's GT flow does.
