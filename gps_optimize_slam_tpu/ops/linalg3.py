@@ -77,14 +77,16 @@ def _rotation(alpha, beta, gamma, eps):
 
 
 @highp
-def svd3x3(H: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+def svd3x3(
+    H: jnp.ndarray, unroll: bool = False
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """SVD of 3×3 matrices: H = U @ diag(S) @ Vt, batched over leading dims.
 
     Thin packing wrapper over ``svd3x3_soa`` (see there for the algorithm
-    and the TPU layout rationale).
+    and the TPU layout rationale; ``unroll`` there for when to unroll).
     """
     cols = tuple(tuple(H[..., r, c] for r in range(3)) for c in range(3))
-    u0, u1, u2, (s0, s1, s2), v0, v1, v2 = svd3x3_soa(cols)
+    u0, u1, u2, (s0, s1, s2), v0, v1, v2 = svd3x3_soa(cols, unroll=unroll)
     U = jnp.stack(
         [jnp.stack(u0, axis=-1), jnp.stack(u1, axis=-1), jnp.stack(u2, axis=-1)],
         axis=-1,
@@ -97,8 +99,20 @@ def svd3x3(H: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     return U, S, Vt
 
 
-def svd3x3_soa(cols):
+def svd3x3_soa(cols, unroll: bool = False):
     """SVD on structure-of-arrays 3×3 matrices.
+
+    ``unroll=True`` inlines the Jacobi sweeps as straight-line code instead
+    of a ``fori_loop`` — same operations in the same order (bitwise
+    identical in f64; few-ulp f32 differences from XLA's per-compilation
+    FMA/fusion choices, measured ≤2e-6 on unit-normal inputs), but XLA
+    fuses the whole sweep chain into ~one kernel instead of one launch
+    per iteration. Use for SCALAR (non-vmapped)
+    calls on a latency-critical path — the round-5 stage split measured
+    the RANSAC tail's two sequential scalar SVD chains at ~0.47 ms of the
+    0.99 ms fused step while the vmapped thousand-trial stages were free.
+    Keep the default (fori) inside vmapped trial fits: the unrolled form
+    ballooned TPU compile time there (the original reason for the loop).
 
     ``cols`` is the matrix as 3 columns, each a 3-tuple of (...) arrays.
     Returns ``(u0, u1, u2, (s0, s1, s2), v0, v1, v2)`` — U and V columns as
@@ -160,13 +174,17 @@ def svd3x3_soa(cols):
         return (a0, a1, a2, v0, v1, v2)
 
     # fori_loop keeps the traced program one sweep long (the unrolled form
-    # ballooned TPU compile time inside vmapped RANSAC).
-    a0, a1, a2, v0, v1, v2 = jax.lax.fori_loop(
-        0,
-        _JACOBI_SWEEPS,
-        one_sweep,
-        (cols[0], cols[1], cols[2], vcols[0], vcols[1], vcols[2]),
-    )
+    # ballooned TPU compile time inside vmapped RANSAC); unroll=True trades
+    # that for a single fused kernel on scalar latency-critical calls.
+    carry = (cols[0], cols[1], cols[2], vcols[0], vcols[1], vcols[2])
+    if unroll:
+        for _ in range(_JACOBI_SWEEPS):
+            carry = one_sweep(None, carry)
+        a0, a1, a2, v0, v1, v2 = carry
+    else:
+        a0, a1, a2, v0, v1, v2 = jax.lax.fori_loop(
+            0, _JACOBI_SWEEPS, one_sweep, carry
+        )
 
     # Sort columns by descending norm with a 3-element compare-swap network
     # (no gathers).

@@ -107,12 +107,12 @@ def sim3_ransac(
     )
     thr2 = cfg.residual_threshold**2
 
-    def trial_fit(k):
+    def trial_fit(k, unroll_svd=False):
         r = jax.random.randint(
             k, (cfg.min_samples,), 0, jnp.maximum(n_valid, 1)
         )
         idx = order[r]
-        return umeyama_sim3(src[idx], dst[idx])
+        return umeyama_sim3(src[idx], dst[idx], unroll_svd=unroll_svd)
 
     def trial_mask(fit):
         # Squared-distance compare (no sqrt pass over trials×points).
@@ -230,11 +230,17 @@ def sim3_ransac(
             body,
             (jnp.zeros((), jnp.int32), jnp.asarray(-1, jnp.int32), keys[0][0]),
         )
-    best_mask = trial_mask(trial_fit(best_key)) & enough
+    # Tail = the step's critical path (round-5 stage split: ~0.47 ms of the
+    # 0.99 ms fused step): two SEQUENTIAL scalar SVD chains. Unrolled sweep
+    # loops collapse each chain's 12 launches into one fused kernel (same
+    # op order; f64 bitwise, f32 few-ulp — see linalg3.svd3x3_soa).
+    best_mask = trial_mask(trial_fit(best_key, unroll_svd=True)) & enough
     max_inliers = jnp.maximum(best_count, 0)
 
     ok = enough & (max_inliers >= cfg.min_inliers_needed)
-    refit = umeyama_sim3(src, dst, best_mask.astype(src.dtype))
+    refit = umeyama_sim3(
+        src, dst, best_mask.astype(src.dtype), unroll_svd=True
+    )
     ok = ok & refit.ok
     return Sim3RansacResult(
         sim3=Sim3(R=refit.R, t=refit.t, scale=refit.scale, ok=ok),

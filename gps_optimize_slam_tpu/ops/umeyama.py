@@ -37,12 +37,16 @@ def umeyama_sim3(
     src: jnp.ndarray,
     dst: jnp.ndarray,
     weights: Optional[jnp.ndarray] = None,
+    unroll_svd: bool = False,
 ) -> Sim3:
     """Weighted Umeyama similarity fit of dst onto src.
 
     ``weights`` may be a boolean mask or nonnegative floats (None = all ones).
     With 0/1 weights this matches an unweighted fit on the selected subset
     exactly. Fully jittable; vmap over a leading batch axis for RANSAC.
+    ``unroll_svd`` unrolls the Jacobi sweep loop (same op order — f64
+    bitwise, f32 few-ulp; see ops.linalg3.svd3x3_soa) — set it on scalar
+    latency-critical calls.
     """
     dtype = src.dtype
     n_pts = src.shape[0]
@@ -69,7 +73,8 @@ def umeyama_sim3(
     )
     var_src_sum = jnp.sum(w * jnp.sum(src_c**2, axis=-1))
     return umeyama_sim3_from_moments(
-        wsum, src_centroid, dst_centroid, H_cols, var_src_sum
+        wsum, src_centroid, dst_centroid, H_cols, var_src_sum,
+        unroll_svd=unroll_svd,
     )
 
 
@@ -80,6 +85,7 @@ def umeyama_sim3_from_moments(
     dst_centroid: jnp.ndarray,
     H_cols,
     var_src_sum: jnp.ndarray,
+    unroll_svd: bool = False,
 ) -> Sim3:
     """Umeyama Sim(3) from sufficient statistics — the streamable core.
 
@@ -98,7 +104,9 @@ def umeyama_sim3_from_moments(
     # Framework-owned one-sided-Jacobi SVD: float32-robust on TPU where
     # XLA's general SVD loses precision on ill-conditioned 3×3 inputs
     # (see ops/linalg3.py), and far cheaper when vmapped over RANSAC trials.
-    u0, u1, u2, (s0, s1, s2), v0, v1, v2 = svd3x3_soa(H_cols)
+    u0, u1, u2, (s0, s1, s2), v0, v1, v2 = svd3x3_soa(
+        H_cols, unroll=unroll_svd
+    )
 
     def _r_components(v2_sign):
         # R = V_fixed @ Uᵀ with the reflection sign applied to V's column 2:
