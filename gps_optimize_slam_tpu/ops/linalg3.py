@@ -103,9 +103,9 @@ def svd3x3_soa(cols, unroll: bool = False):
     """SVD on structure-of-arrays 3×3 matrices.
 
     ``unroll=True`` inlines the Jacobi sweeps as straight-line code instead
-    of a ``fori_loop`` — same operations in the same order (bitwise
-    identical in f64; few-ulp f32 differences from XLA's per-compilation
-    FMA/fusion choices, measured ≤2e-6 on unit-normal inputs), but XLA
+    of a ``fori_loop`` — same operations in the same order (few-ulp
+    differences from XLA's per-compilation FMA/fusion choices: measured
+    ≤1e-14 f64 / ≤2e-6 f32 on unit-normal inputs), but XLA
     fuses the whole sweep chain into ~one kernel instead of one launch
     per iteration. Use for SCALAR (non-vmapped)
     calls on a latency-critical path — the round-5 stage split measured

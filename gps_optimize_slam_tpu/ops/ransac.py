@@ -233,7 +233,7 @@ def sim3_ransac(
     # Tail = the step's critical path (round-5 stage split: ~0.47 ms of the
     # 0.99 ms fused step): two SEQUENTIAL scalar SVD chains. Unrolled sweep
     # loops collapse each chain's 12 launches into one fused kernel (same
-    # op order; f64 bitwise, f32 few-ulp — see linalg3.svd3x3_soa).
+    # op order, few-ulp reassociation — see linalg3.svd3x3_soa).
     best_mask = trial_mask(trial_fit(best_key, unroll_svd=True)) & enough
     max_inliers = jnp.maximum(best_count, 0)
 

@@ -44,8 +44,8 @@ def umeyama_sim3(
     ``weights`` may be a boolean mask or nonnegative floats (None = all ones).
     With 0/1 weights this matches an unweighted fit on the selected subset
     exactly. Fully jittable; vmap over a leading batch axis for RANSAC.
-    ``unroll_svd`` unrolls the Jacobi sweep loop (same op order — f64
-    bitwise, f32 few-ulp; see ops.linalg3.svd3x3_soa) — set it on scalar
+    ``unroll_svd`` unrolls the Jacobi sweep loop (same op order, few-ulp
+    reassociation; see ops.linalg3.svd3x3_soa) — set it on scalar
     latency-critical calls.
     """
     dtype = src.dtype

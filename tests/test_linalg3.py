@@ -83,3 +83,21 @@ def test_rotationlike_inputs():
     rng = np.random.default_rng(3)
     R = Rotation.from_rotvec(rng.normal(size=(32, 3))).as_matrix()
     check_svd(R, atol_recon=1e-12, atol_sv=1e-12)
+
+
+def test_unrolled_sweeps_match_fori():
+    # unroll=True runs the SAME sweep ops as the fori form, just as
+    # straight-line code (used on the RANSAC tail's latency-critical scalar
+    # calls). XLA's per-compilation fusion choices reassociate a few FMAs,
+    # so parity is few-ulp, not bitwise (measured ~1e-15 f64 on this host).
+    rng = np.random.default_rng(7)
+    H64 = rng.normal(size=(16, 3, 3))
+    U_a, S_a, Vt_a = svd3x3(jnp.asarray(H64))
+    U_b, S_b, Vt_b = svd3x3(jnp.asarray(H64), unroll=True)
+    for a, b in ((U_a, U_b), (S_a, S_b), (Vt_a, Vt_b)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-12)
+    H32 = H64.astype(np.float32)
+    U_a, S_a, Vt_a = svd3x3(jnp.asarray(H32))
+    U_b, S_b, Vt_b = svd3x3(jnp.asarray(H32), unroll=True)
+    for a, b in ((U_a, U_b), (S_a, S_b), (Vt_a, Vt_b)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)

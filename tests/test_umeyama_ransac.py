@@ -462,3 +462,20 @@ def test_window_starts_device_valid_mask_and_vmap():
         host = ransac.reference_window_starts(r, cfg)
         got = np.asarray(starts_b[i])[: int(counts_b[i])]
         np.testing.assert_array_equal(got, host)
+
+
+def test_umeyama_unroll_svd_matches_fori():
+    # The RANSAC tail sets unroll_svd=True on its two scalar fits; the
+    # result must match the default fori-loop form to reassociation noise
+    # (same op order, straight-line vs looped — few ulps, not bitwise).
+    src, dst, _, _, _ = make_cloud(n=80, seed=31)
+    w = (np.arange(80) % 3 != 0).astype(np.float64)
+    a = umeyama_sim3(jnp.asarray(src), jnp.asarray(dst), jnp.asarray(w))
+    b = umeyama_sim3(
+        jnp.asarray(src), jnp.asarray(dst), jnp.asarray(w), unroll_svd=True
+    )
+    np.testing.assert_allclose(np.asarray(a.R), np.asarray(b.R), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(a.t), np.asarray(b.t), atol=1e-10)
+    np.testing.assert_allclose(
+        np.asarray(a.scale), np.asarray(b.scale), rtol=1e-13
+    )
