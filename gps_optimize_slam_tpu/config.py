@@ -48,6 +48,14 @@ class Sim3RansacConfig:
     # On clean data (w≈1) one 128-trial chunk suffices — ~8× fewer trials.
     stop_probability: float | None = None
     adaptive_chunk: int = 128
+    # Unroll the best-trial/refit tail's Jacobi sweep loops into straight-
+    # line code (framework latency extension; see ops.ransac.sim3_ransac).
+    # None = auto: unroll on accelerators (collapses the scalar tail's 24
+    # sequential launches into fused kernels), keep the fori loop on CPU
+    # and in batched orchestrators (parallel.mesh forces False — the
+    # unrolled form balloons compile time under vmap, and the tail
+    # amortizes across the batch there).
+    unroll_tail: bool | None = None
 
 
 @dataclasses.dataclass(frozen=True)

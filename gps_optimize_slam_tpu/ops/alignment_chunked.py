@@ -424,6 +424,14 @@ def sim3_ransac_streaming(
     from gps_optimize_slam_tpu.utils.backend import resolve_platform
 
     platform = resolve_platform(platform)
+    if cfg.unroll_tail is None:
+        # Out-of-core fusion is throughput-bound and its cold start is
+        # compile-dominated: keep the RANSAC tail's fori form (the unrolled
+        # sweeps trade tens of seconds of one-time compile for ~0.4 ms of
+        # once-per-fusion launch latency — the wrong trade here).
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, unroll_tail=False)
     subsampled = n_win > max_ransac_points
     sub = idx[:: -(-n_win // max_ransac_points)] if subsampled else idx
     # device_put (no eager convert): staging must not compile per-op.

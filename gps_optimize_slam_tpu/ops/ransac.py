@@ -233,13 +233,22 @@ def sim3_ransac(
     # Tail = the step's critical path (round-5 stage split: ~0.47 ms of the
     # 0.99 ms fused step): two SEQUENTIAL scalar SVD chains. Unrolled sweep
     # loops collapse each chain's 12 launches into one fused kernel (same
-    # op order, few-ulp reassociation — see linalg3.svd3x3_soa).
-    best_mask = trial_mask(trial_fit(best_key, unroll_svd=True)) & enough
+    # op order, few-ulp reassociation — see linalg3.svd3x3_soa). The unroll
+    # trades COMPILE time for launch latency, so it is off on CPU (LLVM
+    # chokes: the vmapped bucketing program went 90 s → >7 min) and
+    # batched/vmapped orchestrators force it off via cfg.unroll_tail (the
+    # tail amortizes across the batch there anyway).
+    unroll_tail = (
+        cfg.unroll_tail
+        if cfg.unroll_tail is not None
+        else platform not in ("cpu",)
+    )
+    best_mask = trial_mask(trial_fit(best_key, unroll_svd=unroll_tail)) & enough
     max_inliers = jnp.maximum(best_count, 0)
 
     ok = enough & (max_inliers >= cfg.min_inliers_needed)
     refit = umeyama_sim3(
-        src, dst, best_mask.astype(src.dtype), unroll_svd=True
+        src, dst, best_mask.astype(src.dtype), unroll_svd=unroll_tail
     )
     ok = ok & refit.ok
     return Sim3RansacResult(

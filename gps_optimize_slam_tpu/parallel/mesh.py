@@ -73,6 +73,16 @@ def _resolved_config(config: FusionConfig, mesh: Optional[Mesh]) -> FusionConfig
         ):
             resolved = "sequential"
         config = config.replace(ekf_scan=resolved)
+    if config.sim3_ransac.unroll_tail is None:
+        # Batched fusion vmaps fuse_core: the RANSAC tail's unrolled sweep
+        # chains balloon compile time under vmap (XLA:CPU: the bucketing
+        # program went 90 s → >7 min) and the tail's launch latency
+        # amortizes across the batch anyway — force the fori form.
+        import dataclasses
+
+        config = config.replace(
+            sim3_ransac=dataclasses.replace(config.sim3_ransac, unroll_tail=False)
+        )
     return config
 
 

@@ -235,3 +235,38 @@ def test_blending_config_cliff_warns_on_accelerator(caplog):
         out = fusion.fuse_core(*args, config=blended("cpu"))
     jax.block_until_ready(out.corrected_pos)
     assert not [r for r in caplog.records if "SEQUENTIAL" in r.message]
+
+
+def test_ransac_tail_unroll_resolution():
+    """The RANSAC tail's sweep-unroll knob: auto unrolls only on
+    accelerators (XLA:CPU's LLVM chokes on the straight-line chains —
+    measured 5 s → 18 s on the scalar program and 90 s → >7 min on the
+    vmapped bucketing program), batched orchestrators force the fori form
+    (mesh._resolved_config), and an explicit user choice survives both."""
+    import dataclasses
+
+    from gps_optimize_slam_tpu.config import FusionConfig
+    from gps_optimize_slam_tpu.parallel import mesh as pmesh
+
+    # Auto → mesh forces fori for the vmapped program (any mesh/platform).
+    resolved = pmesh._resolved_config(FusionConfig(), None)
+    assert resolved.sim3_ransac.unroll_tail is False
+
+    # An explicit True (user override) must survive mesh resolution.
+    explicit = FusionConfig().replace(
+        sim3_ransac=dataclasses.replace(
+            FusionConfig().sim3_ransac, unroll_tail=True
+        )
+    )
+    assert pmesh._resolved_config(explicit, None).sim3_ransac.unroll_tail is True
+
+    # The streaming (out-of-core) RANSAC also forces fori on auto: its
+    # cold start is compile-dominated. Verified structurally: the driver
+    # replaces None before building the kernel (see
+    # alignment_chunked.sim3_ransac_streaming).
+    import inspect
+
+    from gps_optimize_slam_tpu.ops import alignment_chunked
+
+    src = inspect.getsource(alignment_chunked.sim3_ransac_streaming)
+    assert "unroll_tail=False" in src

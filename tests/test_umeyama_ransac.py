@@ -364,7 +364,13 @@ def test_pallas_count_rerank_pins_winner(monkeypatch):
     R = np.eye(3)
     dst_clean = 1.05 * src @ R.T + np.array([3.0, -2.0, 1.0])
     dst = jnp.asarray(dst_clean + rng.normal(size=(n, 3)) * 0.3)
-    cfg = Sim3RansacConfig(max_trials=64, residual_threshold=2.0)
+    # unroll_tail pinned so the tpu- and cpu-path tails run IDENTICAL
+    # arithmetic (the platform-gated default unrolls only the tpu tail —
+    # few-ulp reassociation that would break the atol=0 comparison below;
+    # this test is about winner pinning, not the tail form).
+    cfg = Sim3RansacConfig(
+        max_trials=64, residual_threshold=2.0, unroll_tail=False
+    )
 
     def fake_counts(src_, dst_, valid_, Rt, tt, st, thr2, interpret=False):
         pred = st[:, None, None] * jnp.einsum("tij,nj->tni", Rt, src_) + tt[:, None]
